@@ -1,0 +1,21 @@
+"""spasm_tpu — a TPU-native sparse exact linear algebra framework over GF(p).
+
+A from-scratch re-design of the capabilities of SpaSM / SpaSM.jl (sparse
+direct solver mod p) for TPU hardware: JAX/XLA/Pallas compute kernels, host
+NumPy orchestration, jax.sharding multi-chip scale-out.  See SURVEY.md for
+the reference feature map this implements.
+"""
+
+from .field import DEFAULT_PRIME, F0, Field, field
+from .csr import (SparseGFp, Triplet, inverse_permutation, ipvec, pvec,
+                  random_permutation)
+from .io import dumps_sms, load_sms, matrix_hash, save_pnm, save_sms
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DEFAULT_PRIME", "F0", "Field", "field",
+    "SparseGFp", "Triplet", "inverse_permutation", "ipvec", "pvec",
+    "random_permutation",
+    "dumps_sms", "load_sms", "matrix_hash", "save_pnm", "save_sms",
+]

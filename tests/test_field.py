@@ -1,0 +1,143 @@
+"""Field arithmetic vs Python big-int oracle, host and device tiers."""
+
+import numpy as np
+import pytest
+
+from spasm_tpu.field import Field, num_limbs
+
+PRIMES = [3, 5, 257, 42013, 65537, 92681, 104729, 2**31 - 1]
+
+
+def balanced_oracle(p, x):
+    r = x % p
+    return r - p if r > p // 2 else r
+
+
+@pytest.mark.parametrize("p", PRIMES)
+def test_normalize_matches_oracle(p, rng):
+    f = Field(p)
+    xs = rng.integers(-(2**40), 2**40, size=1000)
+    want = np.array([balanced_oracle(p, int(x)) for x in xs])
+    np.testing.assert_array_equal(f.normalize(xs), want)
+
+
+@pytest.mark.parametrize("p", PRIMES)
+def test_host_ops(p, rng):
+    f = Field(p)
+    a = f.rand(500, rng)
+    b = f.rand(500, rng)
+    for name, op, oracle in [
+        ("add", f.add, lambda x, y: x + y),
+        ("sub", f.sub, lambda x, y: x - y),
+        ("mul", f.mul, lambda x, y: x * y),
+    ]:
+        got = op(a, b)
+        want = np.array(
+            [balanced_oracle(p, oracle(int(x), int(y))) for x, y in zip(a, b)]
+        )
+        np.testing.assert_array_equal(got, want, err_msg=name)
+    # axpy
+    c = f.rand(500, rng)
+    got = f.axpy(a, b, c)
+    want = np.array(
+        [balanced_oracle(p, int(x) * int(y) + int(z)) for x, y, z in zip(a, b, c)]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", PRIMES)
+def test_inv(p, rng):
+    f = Field(p)
+    a = f.rand(200, rng)
+    a = np.where(a == 0, 1, a)
+    inv = f.inv(a)
+    np.testing.assert_array_equal(f.mul(a, inv), np.ones_like(a))
+
+
+def test_rational():
+    f = Field(42013)
+    # 1/2 mod p then *2 == 1
+    half = f.from_rational(1, 2)
+    assert f.mul(half, 2) == 1
+
+
+@pytest.mark.parametrize("p", PRIMES[:-1])
+def test_device_ops(p, rng):
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops import modmul
+
+    f = Field(p)
+    a = f.rand(512, rng).astype(np.int32)
+    b = f.rand(512, rng).astype(np.int32)
+    aj, bj = jnp.array(a), jnp.array(b)
+    np.testing.assert_array_equal(np.asarray(modmul.add(f, aj, bj)), f.add(a, b))
+    np.testing.assert_array_equal(np.asarray(modmul.sub(f, aj, bj)), f.sub(a, b))
+    np.testing.assert_array_equal(np.asarray(modmul.mul(f, aj, bj)), f.mul(a, b))
+    c = f.rand(512, rng).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(modmul.axpy(f, aj, bj, jnp.array(c))), f.axpy(a, b, c)
+    )
+
+
+def test_device_tier_b():
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops import modmul
+
+    p = 2**31 - 1  # mersenne, tier b
+    f = Field(p)
+    rng = np.random.default_rng(7)
+    a = f.rand(300, rng).astype(np.int32)
+    b = f.rand(300, rng).astype(np.int32)
+    got = np.asarray(modmul.mul(f, jnp.array(a), jnp.array(b)))
+    np.testing.assert_array_equal(got, f.mul(a, b))
+
+
+@pytest.mark.parametrize("p", PRIMES)
+def test_limb_roundtrip(p, rng):
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops import modmul
+
+    f = Field(p)
+    nl = num_limbs(p)
+    xs = f.rand(1000, rng).astype(np.int32)
+    # include extremes
+    xs[0], xs[1] = f.halfp, f.mhalfp
+    limbs = np.asarray(modmul.to_limbs(f, jnp.array(xs), nl)).astype(np.int64)
+    assert limbs.min() >= -64 and limbs.max() <= 63
+    recon = sum(limbs[:, i] * 128**i for i in range(nl))
+    np.testing.assert_array_equal(recon, xs)
+
+
+@pytest.mark.parametrize("p", [5, 42013, 92681, 104729, 2**31 - 1])
+def test_modmatmul(p, rng):
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops.matmul import modmatmul_jit
+
+    f = Field(p)
+    n, k, m = 40, 70, 30
+    a = f.rand((n, k), rng)
+    b = f.rand((k, m), rng)
+    want = f.normalize(a.astype(object) @ b.astype(object))
+    got = np.asarray(
+        modmatmul_jit(f, jnp.array(a, jnp.int32), jnp.array(b, jnp.int32))
+    )
+    np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_modmatmul_chunked(rng):
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops.matmul import modmatmul
+    from spasm_tpu.ops import matmul as mm
+
+    f = Field(42013)
+    k = mm._k_chunk(3) * 2 + 17  # force the fori_loop path
+    a = f.rand((8, k), rng)
+    b = f.rand((k, 8), rng)
+    want = f.normalize(a.astype(object) @ b.astype(object))
+    got = np.asarray(modmatmul(f, jnp.array(a, jnp.int32), jnp.array(b, jnp.int32)))
+    np.testing.assert_array_equal(got, want.astype(np.int64))
