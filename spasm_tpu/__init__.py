@@ -10,6 +10,11 @@ from .field import DEFAULT_PRIME, F0, Field, field
 from .csr import (SparseGFp, Triplet, inverse_permutation, ipvec, pvec,
                   random_permutation)
 from .io import dumps_sms, load_sms, matrix_hash, save_pnm, save_sms
+from .echelonize import LU, EchelonizeOptions, echelonize
+from .solve import (dense_back_solve, dense_forward_solve, gesv, kernel,
+                    kernel_from_rref, kernel_pivots, rank, rref, rref_of_U,
+                    solve, sparse_triangular_solve)
+from .utils.logging import set_log, wtime
 
 __version__ = "0.1.0"
 
@@ -18,4 +23,9 @@ __all__ = [
     "SparseGFp", "Triplet", "inverse_permutation", "ipvec", "pvec",
     "random_permutation",
     "dumps_sms", "load_sms", "matrix_hash", "save_pnm", "save_sms",
+    "LU", "EchelonizeOptions", "echelonize",
+    "dense_back_solve", "dense_forward_solve", "gesv", "kernel",
+    "kernel_from_rref", "kernel_pivots", "rank", "rref", "rref_of_U",
+    "solve", "sparse_triangular_solve",
+    "set_log", "wtime",
 ]

@@ -1,0 +1,237 @@
+"""Rank certificates and probabilistic verification — the reference's
+correctness subsystem (``sha256.c``, ``spasm_prng.c``,
+``spasm_certificate.c``, src/SpaSM.jl:408-425, 926-936).
+
+A certificate lets anyone check a claimed rank in O(nnz) time (a few SpMVs)
+without redoing the elimination.  The protocol (same shape as the
+reference's ``RankCertificate{r, prime, hash, i, j, x, y}``,
+src/SpaSM.jl:345-353):
+
+* the PRNG is SHA-256 in counter mode, seeded by (matrix hash, prime, seq)
+  — deterministic, so the challenge vectors are non-interactive
+  (Fiat-Shamir style);
+* **rank >= r**: challenge u in F^r; the response x (values on the pivot
+  rows i) satisfies (x @ A)[j] == u.  If the r x r pivot block were
+  singular, a uniform u is reachable with probability <= 1/p.
+* **rank <= r**: challenge v in F^n; the response y (values on i)
+  satisfies y @ A[i] == v @ A.  If rank(A) > rank(A[i]), a uniform v
+  escapes the span with probability >= 1 - 1/p.
+
+``factorization_verify`` is the Freivalds check of A == L @ U
+(``spasm_factorization_verify``, src/SpaSM.jl:936).
+
+Note: the exact C bitstream of the reference's PRNG is not reproduced (the
+C sources are not part of the wrapper repo); the construction is specified
+independently here and is self-consistent across create/verify/save/load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import struct
+
+import numpy as np
+import scipy.sparse as sp
+
+from .csr import SparseGFp
+from .echelonize import LU, echelonize
+from .field import Field, field
+from .io import matrix_hash
+
+
+class SpasmPRNG:
+    """SHA-256 counter-mode PRNG seeded by (seed32, prime, seq)
+    (``spasm_prng_seed`` / ``spasm_prng_u32`` / ``spasm_prng_ZZp``,
+    src/SpaSM.jl:420-425)."""
+
+    def __init__(self, seed: bytes, prime: int, seq: int = 0):
+        assert len(seed) == 32
+        self.base = seed + struct.pack("<QI", prime, seq)
+        self.prime = prime
+        # mask = 2**i - 1 with i the smallest such that 2**i > prime
+        i = max(1, int(prime).bit_length())
+        if (1 << i) <= prime:
+            i += 1
+        self.mask = (1 << i) - 1
+        self.counter = 0
+        self.buf: list[int] = []
+
+    @classmethod
+    def simple(cls, prime: int, seed: int, seq: int = 0):
+        """spasm_prng_seed_simple: integer seed."""
+        return cls(hashlib.sha256(struct.pack("<Q", seed)).digest(),
+                   prime, seq)
+
+    def _refill(self):
+        digest = hashlib.sha256(
+            self.base + struct.pack("<I", self.counter)).digest()
+        self.counter += 1
+        self.buf.extend(struct.unpack("<8I", digest))
+
+    def u32(self) -> int:
+        if not self.buf:
+            self._refill()
+        return self.buf.pop(0)
+
+    def zzp(self) -> int:
+        """Uniform field element, balanced representation."""
+        while True:
+            r = self.u32() & self.mask
+            if r < self.prime:
+                v = r
+                return v - self.prime if v > self.prime // 2 else v
+
+    def zzp_vector(self, k: int) -> np.ndarray:
+        return np.array([self.zzp() for _ in range(k)], dtype=np.int64)
+
+
+@dataclasses.dataclass
+class RankCertificate:
+    """src/SpaSM.jl:345-353."""
+
+    r: int
+    prime: int
+    hash: bytes          # 32-byte SHA-256 matrix fingerprint
+    i: np.ndarray        # (r,) pivot rows
+    j: np.ndarray        # (r,) pivot cols
+    x: np.ndarray        # (r,) response on rows i:  (x@A)[j] == u
+    y: np.ndarray        # (r,) response on rows i:  y@A[i] == v@A
+
+
+def certificate_rank_create(A: SparseGFp, hash_: bytes | None = None,
+                            fact: LU | None = None) -> RankCertificate:
+    """``spasm_certificate_rank_create`` (src/SpaSM.jl:928)."""
+    from .solve import _solve_zLp
+    from .elimination import compute_levels, wave_eliminate
+
+    f = A.field
+    if hash_ is None:
+        hash_ = matrix_hash(A)
+    if fact is None or fact.L is None:
+        fact = echelonize(A, L=True)
+    r = fact.r
+    I, J = fact.p, fact.piv_cols
+    prng = SpasmPRNG(hash_, f.p, seq=0)
+    u = prng.zzp_vector(r)
+    v = prng.zzp_vector(A.n)
+
+    # x: solve x_I @ A[I, J] == u.  A[I] == Lp @ U, so A[I, J] = Lp @ U[:, J]
+    # with U[:, J] unit *upper* triangular in pivot order (append
+    # invariant).  Solve a @ U[:,J] = u by waves, then x_I @ Lp = a.
+    TU = fact.U.select_cols(_col_selector(fact.qinv, J, A.m), r)
+    levels = fact.levels
+    res, Acoef = wave_eliminate(f, TU.to_scipy(), np.arange(r), levels,
+                                sp.csr_matrix(u.reshape(1, -1)),
+                                record_coeffs=True)
+    assert res.nnz == 0
+    Z = _solve_zLp(fact, Acoef)
+    x = np.zeros(r, np.int64)
+    Zc = Z.tocoo()
+    x[Zc.col] = f.normalize(Zc.data)
+
+    # y: v @ A == y_I @ A[I]:  v@A = (v@L)@U; need y_I @ Lp = v @ L
+    c = fact.L.xapy(v)  # (r,)
+    Z2 = _solve_zLp(fact, sp.csr_matrix(c.reshape(1, -1)))
+    y = np.zeros(r, np.int64)
+    Z2c = Z2.tocoo()
+    y[Z2c.col] = f.normalize(Z2c.data)
+
+    return RankCertificate(r=r, prime=f.p, hash=bytes(hash_),
+                           i=I.astype(np.int64), j=J.astype(np.int64),
+                           x=x, y=y)
+
+
+def certificate_rank_verify(A: SparseGFp, hash_: bytes,
+                            proof: RankCertificate) -> bool:
+    """``spasm_certificate_rank_verify`` (src/SpaSM.jl:930) — O(nnz)."""
+    f = A.field
+    if proof.prime != f.p or bytes(proof.hash) != bytes(hash_):
+        return False
+    r = proof.r
+    if not (0 <= r <= min(A.n, A.m)):
+        return False
+    I, J = np.asarray(proof.i), np.asarray(proof.j)
+    if (len(np.unique(I)) != r or len(np.unique(J)) != r
+            or (r and (I.min() < 0 or I.max() >= A.n
+                       or J.min() < 0 or J.max() >= A.m))):
+        return False
+    prng = SpasmPRNG(bytes(hash_), f.p, seq=0)
+    u = prng.zzp_vector(r)
+    v = prng.zzp_vector(A.n)
+    # rank >= r:  (x @ A)[J] == u with x supported on I
+    xa = _rows_combo(A, I, proof.x)
+    if not np.array_equal(xa[J], f.normalize(u)):
+        return False
+    # rank <= r:  y @ A[I] == v @ A
+    ya = _rows_combo(A, I, proof.y)
+    va = A.xapy(v)
+    return np.array_equal(ya, va)
+
+
+def _rows_combo(A: SparseGFp, rows, coeffs):
+    """(sum_k coeffs[k] * A[rows[k]]) as a dense length-m vector."""
+    x_full = np.zeros(A.n, np.int64)
+    x_full[np.asarray(rows, np.int64)] = np.asarray(coeffs, np.int64)
+    return A.xapy(x_full)
+
+
+def _col_selector(qinv, piv_cols, m):
+    sel = np.full(m, -1, np.int64)
+    sel[piv_cols] = qinv[piv_cols]
+    return sel
+
+
+def rank_certificate_save(proof: RankCertificate, path_or_file):
+    """Text serialization (``spasm_rank_certificate_save``,
+    src/SpaSM.jl:932)."""
+    lines = [f"{proof.r} {proof.prime}", proof.hash.hex(),
+             " ".join(map(str, proof.i)), " ".join(map(str, proof.j)),
+             " ".join(map(str, proof.x)), " ".join(map(str, proof.y))]
+    data = "\n".join(lines) + "\n"
+    if isinstance(path_or_file, (str, bytes)):
+        with open(path_or_file, "w") as fh:
+            fh.write(data)
+    else:
+        path_or_file.write(data)
+
+
+def rank_certificate_load(path_or_file) -> RankCertificate:
+    """``spasm_rank_certificate_load`` (src/SpaSM.jl:934)."""
+    if isinstance(path_or_file, (str, bytes)):
+        with open(path_or_file) as fh:
+            text = fh.read()
+    else:
+        text = path_or_file.read()
+    lines = text.strip().split("\n")
+    r_s, p_s = lines[0].split()
+    r = int(r_s)
+
+    def vec(line):
+        vals = line.split()
+        assert len(vals) == r, "corrupt certificate"
+        return np.array(vals, dtype=np.int64)
+
+    return RankCertificate(
+        r=r, prime=int(p_s), hash=bytes.fromhex(lines[1]),
+        i=vec(lines[2]) if r else np.zeros(0, np.int64),
+        j=vec(lines[3]) if r else np.zeros(0, np.int64),
+        x=vec(lines[4]) if r else np.zeros(0, np.int64),
+        y=vec(lines[5]) if r else np.zeros(0, np.int64))
+
+
+def factorization_verify(A: SparseGFp, fact: LU, seed: int = 0,
+                         n_iter: int = 2) -> bool:
+    """Freivalds check of A == L @ U (``spasm_factorization_verify``,
+    src/SpaSM.jl:936): random v, compare v @ A with (v @ L) @ U."""
+    if fact.L is None:
+        raise ValueError("factorization_verify requires L")
+    f = A.field
+    prng = SpasmPRNG.simple(f.p, seed)
+    for _ in range(n_iter):
+        v = prng.zzp_vector(A.n)
+        va = A.xapy(v)
+        vlu = fact.U.xapy(fact.L.xapy(v))
+        if not np.array_equal(va, vlu):
+            return False
+    return True

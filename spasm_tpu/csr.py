@@ -323,6 +323,56 @@ class SparseGFp:
     def __sub__(self, other):
         return self + (-other)
 
+    # ---------------- SpMV (spasm_spmv.c analog, src/SpaSM.jl:632-658) ----
+
+    def xapy(self, x, y=None):
+        """y <- x @ A + y (dense row vector times sparse matrix)."""
+        f = self.field
+        x = np.asarray(f.normalize(np.asarray(x)), np.int64)
+        assert x.shape == (self.n,)
+        out = self._chunked_vecmat(x)
+        if y is not None:
+            out = f.normalize(out + f.normalize(np.asarray(y)))
+        return out
+
+    def axpy(self, x, y=None):
+        """y <- A @ x + y (sparse matrix times dense column vector)."""
+        f = self.field
+        x = np.asarray(f.normalize(np.asarray(x)), np.int64)
+        assert x.shape == (self.m,)
+        prod = f.normalize(self.data.astype(np.int64) * x[self.indices])
+        out = np.zeros(self.n, np.int64)
+        # chunk so int64 accumulation cannot overflow
+        half = max(1, f.halfp)
+        safe_terms = max(1, (1 << 62) // half)
+        rows = self.rows_expanded()
+        if self.indices.size <= safe_terms:
+            np.add.at(out, rows, prod)
+            out = f.normalize(out)
+        else:
+            for s0 in range(0, self.indices.size, safe_terms):
+                np.add.at(out, rows[s0:s0 + safe_terms],
+                          prod[s0:s0 + safe_terms])
+                out = f.normalize(out)
+        if y is not None:
+            out = f.normalize(out + f.normalize(np.asarray(y)))
+        return out
+
+    def _chunked_vecmat(self, x):
+        f = self.field
+        prod = f.normalize(self.data.astype(np.int64) * x[self.rows_expanded()])
+        out = np.zeros(self.m, np.int64)
+        half = max(1, f.halfp)
+        safe_terms = max(1, (1 << 62) // half)
+        if self.indices.size <= safe_terms:
+            np.add.at(out, self.indices, prod)
+            return f.normalize(out)
+        for s0 in range(0, self.indices.size, safe_terms):
+            np.add.at(out, self.indices[s0:s0 + safe_terms],
+                      prod[s0:s0 + safe_terms])
+            out = f.normalize(out)
+        return out
+
     def __matmul__(self, other):
         """Exact sparse-sparse product mod p.  Chunked over the contraction
         dimension so int64 scipy accumulation never overflows."""

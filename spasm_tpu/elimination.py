@@ -1,0 +1,139 @@
+"""Batched elimination against an ordered pivot set — the TPU-native
+replacement for the reference's per-row sparse triangular solve
+(``spasm_triangular.c`` / ``spasm_reach.c`` DFS, src/SpaSM.jl:623-722)
+and the sparse Schur inner loop (``spasm_scatter.c``, src/SpaSM.jl:619).
+
+Given pivot rows U (unit pivots, one per pivot column, listed in an
+elimination order where only *earlier* pivots have entries in a pivot's
+column — guaranteed by the append invariant, see pivots.py), elimination of
+any set of rows B proceeds in **level waves**:
+
+    level(k) = 1 + max{ level(l) : l < k, U[l, col(k)] != 0 }   (else 0)
+
+All pivots of one level have final coefficients simultaneously, so a wave is
+one sparse matmul:  B <- B - B[:, cols(level t)] @ U[level t].  The number
+of waves is the elimination-DAG depth, not the pivot count — each wave is a
+large batched SpGEMM (host scipy here; the dense/device variant runs the
+same schedule with MXU modular matmuls in schur.py/ops.dense).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .csr import SparseGFp
+from .field import Field
+from .sputil import mod_reduce, safe_spgemm
+
+
+def pivot_graph_edges(U, piv_cols):
+    """Edges (l -> k) of the elimination DAG: pivot l's row touches pivot
+    k's column.  U: SparseGFp (r x m), piv_cols: (r,).  Returns (src, dst)
+    arrays."""
+    r, m = U.shape
+    qinv = np.full(m, -1, np.int64)
+    qinv[piv_cols] = np.arange(r)
+    rows = U.rows_expanded()
+    hit = qinv[U.indices]
+    mask = (hit >= 0) & (hit != rows)
+    return rows[mask], hit[mask]
+
+
+def compute_levels(U, piv_cols, require_order=True):
+    """Level (longest path depth) of each pivot in the elimination DAG.
+
+    If require_order, asserts edges only go from earlier to later pivots
+    (the append invariant); otherwise the caller must pass a topologically
+    sorted U (see topo_order)."""
+    r = U.shape[0]
+    src, dst = pivot_graph_edges(U, piv_cols)
+    if require_order and src.size and not (src < dst).all():
+        raise ValueError("pivot list is not in elimination order")
+    levels = np.zeros(r, np.int64)
+    # longest-path by fixpoint: depth iterations, each fully vectorized
+    while True:
+        cand = levels[src] + 1
+        new = levels.copy()
+        np.maximum.at(new, dst, cand)
+        if np.array_equal(new, levels):
+            break
+        levels = new
+    return levels
+
+
+def topo_order(U, piv_cols):
+    """Topological order of a general permuted-triangular pivot set (Kahn).
+    Raises ValueError if the set has an alternating cycle."""
+    r = U.shape[0]
+    src, dst = pivot_graph_edges(U, piv_cols)
+    indeg = np.zeros(r, np.int64)
+    np.add.at(indeg, dst, 1)
+    order_of_src = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order_of_src], dst[order_of_src]
+    starts = np.searchsorted(src_s, np.arange(r + 1))
+    out = []
+    ready = list(np.flatnonzero(indeg == 0))
+    while ready:
+        l = ready.pop()
+        out.append(l)
+        for k in dst_s[starts[l]:starts[l + 1]]:
+            indeg[k] -= 1
+            if indeg[k] == 0:
+                ready.append(int(k))
+    if len(out) != r:
+        raise ValueError("pivot set is not cycle-free")
+    return np.array(out, np.int64)
+
+
+def wave_eliminate(f: Field, U_sp, piv_cols, levels, B_sp,
+                   record_coeffs=False):
+    """Eliminate all pivot columns from the rows of B.
+
+    U_sp: scipy csr (r x m) pivot rows, unit pivots at piv_cols, in
+    elimination order.  B_sp: scipy csr (q x m).  Returns (B', C) with
+    B' = B - C @ U (mod p) having zero in every pivot column; C is (q x r)
+    if record_coeffs else None.
+    """
+    q = B_sp.shape[0]
+    r = U_sp.shape[0]
+    piv_cols = np.asarray(piv_cols, dtype=np.int64)
+    B = mod_reduce(B_sp, f)
+    coeff_parts = []
+    if r == 0:
+        return B, (sp.csr_matrix((q, 0), dtype=np.int64)
+                   if record_coeffs else None)
+    depth = int(levels.max()) + 1
+    for t in range(depth):
+        kt = np.flatnonzero(levels == t)
+        if kt.size == 0:
+            continue
+        Ct = B[:, piv_cols[kt]]  # (q, |kt|) — coefficients, final at level t
+        Ct = sp.csr_matrix(Ct)
+        if Ct.nnz:
+            B = mod_reduce(B - safe_spgemm(f, Ct, U_sp[kt]), f)
+        if record_coeffs:
+            # scatter Ct's columns into global pivot coordinates
+            Ct = Ct.tocoo()
+            coeff_parts.append((Ct.row, kt[Ct.col], Ct.data))
+    C = None
+    if record_coeffs:
+        if coeff_parts:
+            ci = np.concatenate([p[0] for p in coeff_parts])
+            cj = np.concatenate([p[1] for p in coeff_parts])
+            cv = np.concatenate([p[2] for p in coeff_parts])
+        else:
+            ci = cj = cv = np.zeros(0, np.int64)
+        C = sp.csr_matrix((cv, (ci, cj)), shape=(q, r), dtype=np.int64)
+    return B, C
+
+
+def eliminate_csr(f: Field, U: SparseGFp, piv_cols, B: SparseGFp,
+                  levels=None, record_coeffs=False):
+    """SparseGFp wrapper around wave_eliminate."""
+    if levels is None:
+        levels = compute_levels(U, piv_cols)
+    Bs, C = wave_eliminate(f, U.to_scipy(), piv_cols, levels, B.to_scipy(),
+                           record_coeffs)
+    out = SparseGFp.from_scipy(Bs, f.p)
+    return (out, C) if record_coeffs else out

@@ -1,0 +1,189 @@
+"""Dense exact elimination over GF(p) on TPU — the FFPACK replacement.
+
+The reference finishes echelonization with FFLAS-FFPACK dense kernels
+(``spasm_ffpack_rref`` / ``spasm_ffpack_LU``, src/SpaSM.jl:802-812).  Here the
+same role is played by a blocked Gauss-Jordan elimination designed for the
+MXU:
+
+* the matrix is processed in column panels of width ``c``;
+* within a panel, elimination is a masked ``fori_loop`` of rank-1 updates on
+  the (n, c) panel only — cheap VPU work;
+* the effect of a panel's row operations on the rest of the matrix is, by
+  construction, a **rank-c correction**: every op adds multiples of (at most
+  c) pivot rows.  We track it as ``row_i <- s_i * row_i + G[i, :] @ rows(piv)``
+  with ``s`` (n,) the row scalings and ``G`` (n, c) the accumulated
+  coefficients, and apply it to all other columns with ONE exact modular
+  matmul (ops/matmul.py) per panel — MXU int8-limb work;
+* data-dependent rank / pivot positions live in masks and index vectors, so
+  shapes stay static and the whole factorization jits once per shape.
+
+Output is the full RREF (Jordan — eliminated above and below), the rank, the
+pivot (row, col) sequence, and optionally the transform rows ``T`` with
+``R = T @ A (mod p)`` restricted to pivot rows — enough to reconstruct the
+reference's ``LU`` semantics (U = R[pivot rows], qinv from pivot cols, L from
+T) for solve/gesv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import Field
+from . import modmul
+from .matmul import modmatmul
+
+DEFAULT_PANEL = 128
+
+
+def _panel_eliminate(f: Field, P, is_piv_row, j0, npivcols: int):
+    """Jordan-eliminate the (n, c) panel P whose first column is global
+    column j0; only global columns < npivcols are eligible for pivots
+    (beyond that lie padding or augmentation columns).
+
+    Returns the final panel, the (s, G) rank-c correction, per-slot pivot
+    rows/cols (c,), the found mask (c,), and the updated is_piv_row mask.
+    Slot k of G corresponds to the k-th pivot found in the panel.
+    """
+    n, c = P.shape
+
+    def body(jj, carry):
+        P, G, s, piv_rows, piv_cols, piv_found, is_piv, kk = carry
+        col = jax.lax.dynamic_slice(P, (0, jj), (n, 1))[:, 0]
+        eligible = (j0 + jj) < npivcols
+        cand = jnp.logical_and(jnp.logical_not(is_piv),
+                               jnp.logical_and(col != 0, eligible))
+        pr = jnp.argmax(cand).astype(jnp.int32)
+        found = cand[pr]
+        pinv = modmul.inv_scalar(f, col[pr])
+        scale = jnp.where(found, pinv, jnp.int32(1))
+        # scale row pr
+        P = P.at[pr].set(modmul.mul(f, P[pr], scale))
+        G = G.at[pr].set(modmul.mul(f, G[pr], scale))
+        s = s.at[pr].set(modmul.mul(f, s[pr], scale))
+        # eliminate column jj from every other row
+        colr = jax.lax.dynamic_slice(P, (0, jj), (n, 1))[:, 0]
+        alpha = jnp.where(found, modmul.neg(f, colr), jnp.int32(0))
+        alpha = alpha.at[pr].set(0)
+        ek = (jax.lax.broadcasted_iota(jnp.int32, (c,), 0) == kk)
+        g_row = modmul.add(f, G[pr], jnp.where(ek, s[pr], jnp.int32(0)))
+        P = modmul.add(f, P, modmul.mul(f, alpha[:, None], P[pr][None, :]))
+        G = modmul.add(f, G, modmul.mul(f, alpha[:, None], g_row[None, :]))
+        # bookkeeping
+        is_piv = is_piv.at[pr].set(jnp.logical_or(is_piv[pr], found))
+        piv_rows = piv_rows.at[kk].set(jnp.where(found, pr, 0))
+        piv_cols = piv_cols.at[kk].set(jnp.where(found, jj, 0))
+        piv_found = piv_found.at[kk].set(found)
+        kk = kk + found.astype(jnp.int32)
+        return P, G, s, piv_rows, piv_cols, piv_found, is_piv, kk
+
+    G0 = jnp.zeros((n, c), jnp.int32)
+    s0 = jnp.ones((n,), jnp.int32)
+    piv_rows0 = jnp.zeros((c,), jnp.int32)
+    piv_cols0 = jnp.zeros((c,), jnp.int32)
+    piv_found0 = jnp.zeros((c,), bool)
+    init = (P, G0, s0, piv_rows0, piv_cols0, piv_found0, is_piv_row,
+            jnp.int32(0))
+    P, G, s, piv_rows, piv_cols, piv_found, is_piv_row, _ = jax.lax.fori_loop(
+        0, c, body, init)
+    return P, G, s, piv_rows, piv_cols, piv_found, is_piv_row
+
+
+def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
+    """Blocked Jordan RREF of X (n, m) over GF(p).  Only the first
+    ``npivcols`` columns are searched for pivots (pass m normally; pass
+    fewer when X is augmented, e.g. with an identity to track the
+    transform).
+
+    Returns (R, rank, piv_row_of, piv_col_of, is_piv_row) where
+    ``piv_row_of[k]`` / ``piv_col_of[k]`` give the k-th pivot in column
+    order (padded with -1 past rank) and is_piv_row is the (n,) mask.
+    """
+    n, m = X.shape
+    nmax = min(n, npivcols)
+    npan = -(-npivcols // panel)
+    m_pad = max(m, npan * panel)
+    if m_pad != m:
+        X = jnp.pad(X, ((0, 0), (0, m_pad - m)))
+
+    def do_panel(pi, carry):
+        X, is_piv, rank, prow_of, pcol_of = carry
+        j0 = pi * panel
+        P = jax.lax.dynamic_slice(X, (0, j0), (n, panel))
+        P, G, s, prows, pcols, pfound, is_piv = _panel_eliminate(
+            f, P, is_piv, j0, npivcols)
+        # rank-c correction applied to every column (panel cols overwritten)
+        piv_block = X[prows, :]  # (c, m_pad); dummy slots have zero G col
+        upd = modmul.add(f, modmul.mul(f, s[:, None], X),
+                         modmatmul(f, G, piv_block))
+        X = jax.lax.dynamic_update_slice(upd, P, (0, j0))
+        # pivots are compacted in slot order == column order within the panel
+        nfound = pfound.sum().astype(jnp.int32)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (panel,), 0)
+        slots = jnp.where(pfound, rank + slot, nmax)  # parked off-end if none
+        prow_of = prow_of.at[slots].set(jnp.where(pfound, prows, -1),
+                                        mode="drop")
+        pcol_of = pcol_of.at[slots].set(jnp.where(pfound, j0 + pcols, -1),
+                                        mode="drop")
+        rank = rank + nfound
+        return X, is_piv, rank, prow_of, pcol_of
+
+    is_piv0 = jnp.zeros((n,), bool)
+    prow_of0 = jnp.full((nmax,), -1, jnp.int32)
+    pcol_of0 = jnp.full((nmax,), -1, jnp.int32)
+    X, is_piv, rank, prow_of, pcol_of = jax.lax.fori_loop(
+        0, npan, do_panel, (X, is_piv0, jnp.int32(0), prow_of0, pcol_of0))
+    return X[:, :m], rank, prow_of, pcol_of, is_piv
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _rref_jit(f: Field, X, npivcols: int, panel: int, want_transform: bool):
+    n, m = X.shape
+    if want_transform:
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.int32)
+        Xa = jnp.concatenate([X, eye], axis=1)
+    else:
+        Xa = X
+    R, rank, prow_of, pcol_of, is_piv = rref_inplace(f, Xa, npivcols, panel)
+    T = R[:, m:] if want_transform else None
+    R = R[:, :m]
+    return R, rank, prow_of, pcol_of, is_piv, T
+
+
+def rref(f: Field, X, want_transform: bool = False, panel: int = DEFAULT_PANEL):
+    """Host-facing dense RREF.  X: (n, m) array-like of balanced int32.
+
+    Returns a dict with numpy results:
+      R          (n, m) the reduced row echelon form (rows in original
+                 positions — gather R[piv_rows] for the U factor)
+      rank       int
+      piv_rows   (rank,) row index of each pivot, in pivot-column order
+      piv_cols   (rank,) strictly increasing pivot columns
+      qinv       (m,) qinv[j] = k if column j holds pivot k else -1
+                 (reference qinv semantics, src/SpaSM.jl:293-296)
+      T          (n, n) transform with R = T @ X mod p (if requested)
+    """
+    X = np.asarray(X)
+    n, m = X.shape
+    if n == 0 or m == 0:
+        return dict(R=np.zeros((n, m), np.int32), rank=0,
+                    piv_rows=np.zeros(0, np.int64),
+                    piv_cols=np.zeros(0, np.int64),
+                    qinv=np.full(m, -1, np.int64),
+                    T=np.eye(n, dtype=np.int32) if want_transform else None)
+    panel = min(panel, max(8, m))
+    Xd = jnp.asarray(f.normalize(X).astype(np.int32))
+    R, rank, prow_of, pcol_of, is_piv, T = _rref_jit(
+        f, Xd, m, panel, want_transform)
+    rank = int(rank)
+    piv_rows = np.asarray(prow_of)[:rank].astype(np.int64)
+    piv_cols = np.asarray(pcol_of)[:rank].astype(np.int64)
+    qinv = np.full(m, -1, np.int64)
+    qinv[piv_cols] = np.arange(rank)
+    return dict(R=np.asarray(R), rank=rank, piv_rows=piv_rows,
+                piv_cols=piv_cols, qinv=qinv,
+                T=np.asarray(T) if want_transform else None)

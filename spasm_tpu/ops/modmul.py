@@ -128,6 +128,22 @@ def _mul_tier_b(f: Field, a, b):
     return _from_unsigned(f, r)
 
 
+def inv_scalar(f: Field, x):
+    """Modular inverse of a (0-d) device value via Fermat: x**(p-2) mod p.
+    p is prime, so this matches the reference's extended-gcd inverse
+    (src/SpaSM.jl:386) on nonzero inputs; returns 0 for x == 0."""
+    check_device_prime(f)
+    e = f.p - 2
+    result = jnp.int32(1)
+    base = x
+    while e:
+        if e & 1:
+            result = mul(f, result, base)
+        base = mul(f, base, base)
+        e >>= 1
+    return result
+
+
 # ---------------- int8 limb (de)composition for the MXU ----------------
 
 

@@ -1,0 +1,361 @@
+"""Derived operations on an echelonization: RREF, kernel basis, linear
+solves — the analogs of ``spasm_rref.c``, ``spasm_kernel.c``,
+``spasm_solve.c`` and ``spasm_triangular.c`` (src/SpaSM.jl:660-923).
+
+Everything here is batched through the level-wave elimination
+(elimination.py); per-row DFS never happens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .csr import SparseGFp
+from .echelonize import LU, echelonize
+from .elimination import compute_levels, topo_order, wave_eliminate
+from .field import Field
+from .sputil import mod_reduce
+from .utils.logging import log, push_verbose, wtime
+
+
+def rref_of_U(fact: LU) -> SparseGFp:
+    """Reduced row echelon form of the factorization's U (r x m, unit
+    pivots, zero elsewhere in pivot columns) — ``spasm_rref``
+    (src/SpaSM.jl:869-871).  The RREF of a matrix is unique, so this is a
+    canonical object independent of pivot choices."""
+    f = fact.field
+    U = fact.U.to_scipy()
+    r = fact.r
+    if r == 0:
+        return SparseGFp.zeros(f, 0, fact.m)
+    piv_cols = fact.piv_cols
+    levels = fact.levels
+    B = mod_reduce(U.copy(), f)
+    depth = int(levels.max()) + 1 if r else 0
+    for t in range(depth):
+        kt = np.flatnonzero(levels == t)
+        if kt.size == 0:
+            continue
+        Ct = sp.csc_matrix(B)[:, piv_cols[kt]].tocoo()
+        keep = Ct.row != kt[Ct.col]  # self-elimination is skipped
+        Ct = sp.csr_matrix((Ct.data[keep], (Ct.row[keep], Ct.col[keep])),
+                           shape=(r, kt.size))
+        if Ct.nnz:
+            from .sputil import safe_spgemm
+            B = mod_reduce(B - safe_spgemm(f, Ct, U[kt]), f)
+    # rescale rows so pivots are exactly 1 (a row's pivot value may have
+    # changed while other pivots were eliminated from it)
+    diag = np.asarray(B[np.arange(r), piv_cols]).ravel().astype(np.int64)
+    scales = f.inv(diag)
+    row_of = np.repeat(np.arange(r), np.diff(B.indptr))
+    B.data = f.normalize(B.data * scales[row_of])
+    # canonical form: rows ordered by pivot column (RREF is unique)
+    B = sp.csr_matrix(B)[np.argsort(piv_cols, kind="stable")]
+    return SparseGFp.from_scipy(B, f.p)
+
+
+def rref_qinv(fact: LU):
+    """qinv matching rref_of_U's canonical row order: qinv[j] = k if column
+    j holds the k-th pivot column in increasing order, else -1."""
+    qinv = np.full(fact.m, -1, np.int64)
+    qinv[np.sort(fact.piv_cols)] = np.arange(fact.r)
+    return qinv
+
+
+def rref(fact: LU):
+    """(R, Rqinv): canonical RREF of the row space + its qinv
+    (``spasm_rref``, src/SpaSM.jl:869-871)."""
+    return rref_of_U(fact), rref_qinv(fact)
+
+
+def kernel_from_rref(R: SparseGFp, qinv) -> SparseGFp:
+    """Right-kernel basis from an RREF — ``spasm_kernel_from_rref``
+    (src/SpaSM.jl:884).
+
+    For each free column j (qinv[j] < 0, ascending), the kernel row is
+        sum_k R[k, j] * e_{piv_col(k)}  -  e_j
+    which matches the reference's output exactly (golden values in
+    test/runtests.jl:17-24 and README.md:44-47)."""
+    f = R.field
+    r, m = R.shape
+    qinv = np.asarray(qinv, np.int64)
+    free_cols = np.flatnonzero(qinv < 0)
+    piv_cols = np.full(r, -1, np.int64)
+    piv_cols[qinv[qinv >= 0]] = np.flatnonzero(qinv >= 0)
+    nfree = free_cols.size
+    free_idx = np.full(m, -1, np.int64)
+    free_idx[free_cols] = np.arange(nfree)
+    i, j, v = R.to_coo()
+    mask = free_idx[j] >= 0
+    rows = free_idx[j[mask]]          # kernel row = index of the free col
+    cols = piv_cols[i[mask]]          # entry sits at the pivot's column
+    vals = v[mask]
+    rows = np.concatenate([rows, np.arange(nfree)])
+    cols = np.concatenate([cols, free_cols])
+    vals = np.concatenate([vals, np.full(nfree, -1, np.int64)])
+    return SparseGFp.from_coo(f, nfree, m, rows, cols, vals,
+                              sum_duplicates=False)
+
+
+def kernel(obj, verbose=False, **kwargs) -> SparseGFp:
+    """Right-null-space basis: (m - r) rows x with obj @ x.T == 0
+    (``spasm_kernel``, src/SpaSM.jl:874-884; one-stop :1147)."""
+    if isinstance(obj, SparseGFp):
+        fact = echelonize(obj, verbose=verbose, **kwargs)
+    else:
+        fact = obj
+    with push_verbose(bool(verbose)):
+        t0 = wtime()
+        log(f"[kernel] start. U is {fact.U.shape[0]} x {fact.U.shape[1]} "
+            f"({fact.U.nnz} nnz)")
+        R = rref_of_U(fact)
+        K = kernel_from_rref(R, rref_qinv(fact))
+        log(f"[kernel] done in {wtime() - t0:.1f}s. NNZ(K) = {K.nnz}")
+    return K
+
+
+def rank(obj, **kwargs) -> int:
+    """``rank`` one-stop (src/SpaSM.jl:1149)."""
+    if isinstance(obj, LU):
+        return obj.r
+    return echelonize(obj, **kwargs).r
+
+
+def kernel_pivots(A: SparseGFp, **kwargs):
+    """kernel + the free columns its support hits
+    (src/SpaSM.jl:1151-1170)."""
+    fact = echelonize(A, **kwargs)
+    k = kernel(fact)
+    free = set(np.flatnonzero(fact.qinv < 0).tolist())
+    hit = sorted({int(j) for j in k.indices if int(j) in free})
+    return k, np.array(hit, np.int64)
+
+
+# ---------------- solves ----------------
+
+
+def _solve_vs_U(fact: LU, B_sp):
+    """Reduce rows of B against U, returning (coefficients Y, residual)."""
+    f = fact.field
+    res, Y = wave_eliminate(f, fact.U.to_scipy(), fact.piv_cols,
+                            fact.levels, B_sp, record_coeffs=True)
+    return Y, res
+
+
+def _solve_triangular_Lp(f: Field, Lp, Y):
+    """Solve Z @ Lp == Y for Lp (r x r) lower-triangular in pivot order
+    with nonzero diagonal.
+
+    Z @ Lp = Y expresses Y's rows as combinations of Lp's rows, so we
+    wave-eliminate Y against Lp itself.  Row k of Lp has entries only at
+    columns <= k, so the REVERSED pivot list (r-1, ..., 0) satisfies the
+    append invariant (no entries at previously selected pivot columns)."""
+    r = Lp.shape[0]
+    M = sp.csr_matrix(Lp)
+    diag = np.asarray(M[np.arange(r), np.arange(r)]).ravel().astype(np.int64)
+    scales = f.inv(diag)
+    row_of = np.repeat(np.arange(r), np.diff(M.indptr))
+    M.data = f.normalize(M.data * scales[row_of])  # unit diagonal
+    order = np.arange(r - 1, -1, -1, dtype=np.int64)
+    Mo = sp.csr_matrix(M)[order]
+    Mw = SparseGFp.from_scipy(Mo, f.p)
+    levels = compute_levels(Mw, order)
+    res, C = wave_eliminate(f, Mo, order, levels, Y, record_coeffs=True)
+    assert res.nnz == 0, "triangular Lp solve must be exact"
+    # map reversed coefficient slots back and undo the row scaling:
+    # y = sum c_k' (Lp[k]/v_k)  =>  z_k = c_k' * inv(v_k)
+    Cc = sp.csr_matrix(C).tocoo()
+    orig = order[Cc.col]
+    data = f.normalize(Cc.data.astype(np.int64)
+                       * f.to_unsigned(scales)[orig])
+    return sp.csr_matrix((data, (Cc.row, orig)), shape=(Y.shape[0], r))
+
+
+def _dense_block_inverse(fact: LU):
+    """Inverse of the dense-finish corner block D = Lp[ds:, ds:] (a general
+    invertible matrix — coefficients of rows against an RREF).  Computed
+    once on device via augmented Jordan RREF; cached on the LU."""
+    cached = getattr(fact, "_dinv_cache", None)
+    if cached is not None:
+        return cached
+    from .ops import dense as dense_ops
+    f = fact.field
+    ds = fact.dense_piv_start
+    D = fact.L.select_rows(fact.p[ds:]).to_scipy()[:, ds:].toarray()
+    out = dense_ops.rref(f, D, want_transform=True)
+    assert out["rank"] == D.shape[0], "dense L block must be invertible"
+    dinv = out["T"]  # T @ D == I
+    fact._dinv_cache = dinv
+    return dinv
+
+
+def _solve_zLp(fact: LU, Y):
+    """Solve Z @ Lp == Y where Lp = L[p] is the (r x r) pivot-row block of
+    L.  Lp is lower-triangular in pivot order except for an optional dense
+    corner block from the dense finish:  Lp = [[T, 0], [C, D]].  Solve
+    z_d @ D = y_d densely, then z_s @ T = y_s - z_d @ C by waves."""
+    f = fact.field
+    r = fact.r
+    if r == 0:
+        return sp.csr_matrix((Y.shape[0], 0), dtype=np.int64)
+    Y = sp.csr_matrix(Y)
+    Lp_rows = fact.L.select_rows(fact.p)  # (r, r)
+    ds = fact.dense_piv_start if fact.dense_piv_start is not None else r
+    if ds >= r:
+        return _solve_triangular_Lp(f, Lp_rows.to_scipy(), Y)
+    Lp = Lp_rows.to_scipy()
+    Y_s, Y_d = Y[:, :ds], Y[:, ds:]
+    # z_d @ D = y_d  ->  z_d = y_d @ D^-1
+    dinv = _dense_block_inverse(fact)
+    Z_d = mod_reduce(sp.csr_matrix(
+        _spgemm_dense_rhs(f, Y_d, dinv)), f)
+    if ds:
+        C_blk = Lp[ds:, :ds]
+        rhs = mod_reduce(Y_s - safe_spgemm_local(f, Z_d, C_blk), f)
+        Z_s = _solve_triangular_Lp(f, Lp[:ds, :ds], rhs)
+    else:
+        Z_s = sp.csr_matrix((Y.shape[0], 0), dtype=np.int64)
+    return sp.csr_matrix(sp.hstack([Z_s, Z_d], format="csr"))
+
+
+def _spgemm_dense_rhs(f: Field, A_sp, B_dense):
+    """A_sp (sparse) @ B_dense (small dense), exact in int64."""
+    half = max(1, f.halfp)
+    safe_k = max(1, (1 << 62) // (half * half))
+    A_sp = sp.csr_matrix(A_sp)
+    B_dense = np.asarray(B_dense, np.int64)
+    k = A_sp.shape[1]
+    if k <= safe_k:
+        return sp.csr_matrix(f.normalize(A_sp @ B_dense))
+    acc = np.zeros((A_sp.shape[0], B_dense.shape[1]), np.int64)
+    for c0 in range(0, k, safe_k):
+        c1 = min(k, c0 + safe_k)
+        acc = f.normalize(acc + f.normalize(A_sp[:, c0:c1] @ B_dense[c0:c1]))
+    return sp.csr_matrix(acc)
+
+
+def safe_spgemm_local(f: Field, a, b):
+    from .sputil import safe_spgemm
+    return safe_spgemm(f, a, b)
+
+
+def solve(fact: LU, b):
+    """Solve x @ A == b for one dense RHS b (length m) given the
+    factorization of A (``spasm_solve``, src/SpaSM.jl:889-905).  Requires
+    opts.L.  Returns x (length n) or None if inconsistent."""
+    if fact.L is None:
+        raise ValueError("solve requires a factorization with L "
+                         "(echelonize(..., L=True))")
+    f = fact.field
+    b = np.asarray(f.normalize(np.asarray(b)), np.int64)
+    assert b.shape == (fact.m,)
+    B = sp.csr_matrix(b.reshape(1, -1))
+    Y, res = _solve_vs_U(fact, B)
+    if res.nnz:
+        return None
+    Z = _solve_zLp(fact, Y)
+    x = np.zeros(fact.n, np.int64)
+    Zc = Z.tocoo()
+    x[fact.p[Zc.col]] = f.normalize(Zc.data)
+    return x
+
+
+def gesv(fact: LU, B: SparseGFp, verbose=False):
+    """Solve X @ A == B sparse multi-RHS (``spasm_gesv``,
+    src/SpaSM.jl:907-923).  Returns (X, ok) with per-row solvable flags;
+    unsolvable rows of X are zero."""
+    if fact.L is None:
+        raise ValueError("gesv requires a factorization with L")
+    f = fact.field
+    assert B.m == fact.m
+    with push_verbose(bool(verbose)):
+        Y, res = _solve_vs_U(fact, B.to_scipy())
+        bad = np.zeros(B.n, bool)
+        bad[np.unique(sp.coo_matrix(res).row)] = True
+        ok = ~bad
+        Z = _solve_zLp(fact, sp.csr_matrix(Y.multiply(
+            sp.csr_matrix(ok.astype(np.int64).reshape(-1, 1)))))
+        Zc = Z.tocoo()
+        X = SparseGFp.from_coo(f, B.n, fact.n, Zc.row, fact.p[Zc.col],
+                               Zc.data, sum_duplicates=False)
+    return X, ok
+
+
+def sparse_triangular_solve(U, B: SparseGFp, qinv=None):
+    """Solve X @ U == B where U is permuted-triangular with unit pivots
+    located by qinv (``spasm_sparse_triangular_solve`` batched over the
+    rows of B, src/SpaSM.jl:694-755).  U may be an LU (then its U/qinv are
+    used).  Returns X or None if any row has no solution."""
+    if isinstance(U, LU):
+        fact = U
+        Usp, qinv = fact.U, fact.qinv
+    else:
+        Usp = U
+    f = Usp.field
+    r, m = Usp.shape
+    assert B.m == m
+    qinv = np.asarray(qinv, np.int64)
+    piv_of_row = np.full(r, -1, np.int64)
+    sel = np.flatnonzero(qinv >= 0)
+    piv_of_row[qinv[sel]] = sel
+    if (piv_of_row < 0).any():
+        raise ValueError("qinv does not give a pivot for every row of U")
+    # general triangular set: topologically order, then wave-eliminate
+    order = topo_order(Usp, piv_of_row)
+    Uo = Usp.select_rows(order)
+    cols_o = piv_of_row[order]
+    levels = compute_levels(Uo, cols_o)
+    res, C = wave_eliminate(f, Uo.to_scipy(), cols_o, levels, B.to_scipy(),
+                            record_coeffs=True)
+    if res.nnz:
+        return None
+    Cc = C.tocoo()
+    return SparseGFp.from_coo(f, B.n, r, Cc.row, order[Cc.col], Cc.data,
+                              sum_duplicates=False)
+
+
+def dense_back_solve(L: SparseGFp, b, p):
+    """Solve x @ L == b densely; L (n x m) permuted lower-triangular with
+    nonzero diagonal located by p (p[j] = row of the diagonal entry of
+    column j) — ``spasm_dense_back_solve`` (src/SpaSM.jl:663-677)."""
+    f = L.field
+    n, m = L.shape
+    b = np.asarray(f.normalize(np.asarray(b)), np.int64).copy()
+    p = np.asarray(p, np.int64)
+    x = np.zeros(n, np.int64)
+    for j in range(m - 1, -1, -1):
+        if b[j] == 0:
+            continue
+        i = p[j]
+        ji, vi = L.row(i)
+        hit = np.searchsorted(ji, j)
+        if hit >= ji.size or ji[hit] != j:
+            return None
+        coef = f.mul(b[j], f.inv(vi[hit]))
+        x[i] = coef
+        b[ji] = f.normalize(b[ji] - coef * vi.astype(np.int64))
+    if b.any():
+        return None
+    return x
+
+
+def dense_forward_solve(U: SparseGFp, b, q):
+    """Solve x @ U == b densely; U (n x m) permuted upper-triangular with
+    unit pivots, q[i] = pivot column of row i —
+    ``spasm_dense_forward_solve`` (src/SpaSM.jl:679-692)."""
+    f = U.field
+    n, m = U.shape
+    b = np.asarray(f.normalize(np.asarray(b)), np.int64).copy()
+    q = np.asarray(q, np.int64)
+    x = np.zeros(n, np.int64)
+    for i in range(n):
+        j = q[i]
+        if b[j] == 0:
+            continue
+        ji, vi = U.row(i)
+        x[i] = b[j]
+        b[ji] = f.normalize(b[ji] - x[i] * vi.astype(np.int64))
+    if b.any():
+        return None
+    return x

@@ -11,8 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+# persistent XLA compilation cache: dense-kernel compiles dominate test time
+jax.config.update("jax_compilation_cache_dir", "/tmp/spasm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture
