@@ -6,6 +6,19 @@ NumPy orchestration, jax.sharding multi-chip scale-out.  See SURVEY.md for
 the reference feature map this implements.
 """
 
+import os as _os
+
+import jax as _jax
+
+# dense elimination kernels compile once per shape bucket; a persistent
+# cache makes that a one-time cost per machine.  Opt out by setting
+# SPASM_TPU_NO_JAX_CACHE or configuring jax_compilation_cache_dir yourself.
+if (not _os.environ.get("SPASM_TPU_NO_JAX_CACHE")
+        and _jax.config.jax_compilation_cache_dir is None):
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.expanduser("~/.cache/spasm_tpu_jax"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .field import DEFAULT_PRIME, F0, Field, field
 from .csr import (SparseGFp, Triplet, inverse_permutation, ipvec, pvec,
                   random_permutation)

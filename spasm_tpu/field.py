@@ -165,22 +165,25 @@ def field(p: int = DEFAULT_PRIME) -> Field:
 
 def datatype_choose(p: int) -> str:
     """TPU analog of ``spasm_datatype_choose`` (src/SpaSM.jl:810): picks the
-    carrier for dense mod-p arithmetic.
+    carrier for dense mod-p arithmetic — the number of balanced base-256
+    int8 limbs per value:
 
-    * ``'i8l2'`` — two 7-bit signed limbs on the MXU (p <= 16510)
-    * ``'i8l3'`` — three 7-bit limbs (p <= 2**22-ish)
-    * ``'i8l5'`` — five limbs, general p < 2**32
+    * ``'i8l1'`` — p <= 257 (1 MXU pass per matmul)
+    * ``'i8l2'`` — p <= 65792 (4 passes; covers the default 42013)
+    * ``'i8l3'`` — p <= 2**24.0066 (9 passes)
+    * ``'i8l4'`` — p < 2**32 (16 passes)
     """
     half = p // 2
-    for nl in range(1, 6):
+    for nl in range(1, 5):
         if half <= _limb_capacity(nl):
             return f"i8l{nl}"
     raise ValueError(f"p too large: {p}")
 
 
 def _limb_capacity(num_limbs: int) -> int:
-    # balanced base-128 limbs l_i in [-64, 63]; max magnitude sum 64*128**i
-    return sum(64 * 128**i for i in range(num_limbs))
+    # balanced base-256 limbs l_i in [-128, 127]; the binding constraint is
+    # the positive side: max representable value is 127 * sum 256**i
+    return sum(127 * 256**i for i in range(num_limbs))
 
 
 def num_limbs(p: int) -> int:

@@ -154,7 +154,21 @@ def _rref_jit(f: Field, X, npivcols: int, panel: int, want_transform: bool):
     return R, rank, prow_of, pcol_of, is_piv, T
 
 
-def rref(f: Field, X, want_transform: bool = False, panel: int = DEFAULT_PANEL):
+# below this element count, host NumPy elimination beats device compile+run
+HOST_CUTOFF = 1 << 20
+
+
+def _bucket(x: int) -> int:
+    """Next power of two (>= 128): device shapes are bucketed so the jitted
+    kernel compiles once per bucket, not once per matrix."""
+    b = 128
+    while b < x:
+        b <<= 1
+    return b
+
+
+def rref(f: Field, X, want_transform: bool = False,
+         panel: int = DEFAULT_PANEL, host_cutoff: int = HOST_CUTOFF):
     """Host-facing dense RREF.  X: (n, m) array-like of balanced int32.
 
     Returns a dict with numpy results:
@@ -166,6 +180,9 @@ def rref(f: Field, X, want_transform: bool = False, panel: int = DEFAULT_PANEL):
       qinv       (m,) qinv[j] = k if column j holds pivot k else -1
                  (reference qinv semantics, src/SpaSM.jl:293-296)
       T          (n, n) transform with R = T @ X mod p (if requested)
+
+    Small problems run on the host (NumPy); large ones on the device with
+    power-of-two shape bucketing (zero padding is pivot-neutral).
     """
     X = np.asarray(X)
     n, m = X.shape
@@ -175,15 +192,52 @@ def rref(f: Field, X, want_transform: bool = False, panel: int = DEFAULT_PANEL):
                     piv_cols=np.zeros(0, np.int64),
                     qinv=np.full(m, -1, np.int64),
                     T=np.eye(n, dtype=np.int32) if want_transform else None)
+    if n * m < host_cutoff:
+        return _host_rref(f, X, want_transform)
     panel = min(panel, max(8, m))
-    Xd = jnp.asarray(f.normalize(X).astype(np.int32))
+    nb, mb = _bucket(n), _bucket(m)
+    Xp = f.normalize(X).astype(np.int32)
+    if (nb, mb) != (n, m):
+        Xp = np.pad(Xp, ((0, nb - n), (0, mb - m)))
+    Xd = jnp.asarray(Xp)
     R, rank, prow_of, pcol_of, is_piv, T = _rref_jit(
-        f, Xd, m, panel, want_transform)
+        f, Xd, mb, panel, want_transform)
     rank = int(rank)
     piv_rows = np.asarray(prow_of)[:rank].astype(np.int64)
     piv_cols = np.asarray(pcol_of)[:rank].astype(np.int64)
     qinv = np.full(m, -1, np.int64)
     qinv[piv_cols] = np.arange(rank)
-    return dict(R=np.asarray(R), rank=rank, piv_rows=piv_rows,
+    return dict(R=np.asarray(R)[:n, :m], rank=rank, piv_rows=piv_rows,
                 piv_cols=piv_cols, qinv=qinv,
-                T=np.asarray(T) if want_transform else None)
+                T=np.asarray(T)[:n, :n] if want_transform else None)
+
+
+def _host_rref(f: Field, X, want_transform: bool):
+    """NumPy Gauss-Jordan mod p — exact int64, same output contract."""
+    n, m = X.shape
+    A = f.normalize(X).astype(np.int64)
+    if want_transform:
+        A = np.hstack([A, np.eye(n, dtype=np.int64)])
+    is_piv = np.zeros(n, bool)
+    piv_rows, piv_cols = [], []
+    for j in range(m):
+        cand = np.flatnonzero((A[:, j] != 0) & ~is_piv)
+        if cand.size == 0:
+            continue
+        pr = int(cand[0])
+        A[pr] = f.mul(A[pr], int(f.inv(A[pr, j])))
+        coef = A[:, j].copy()
+        coef[pr] = 0
+        rows = np.flatnonzero(coef)
+        if rows.size:
+            A[rows] = f.normalize(A[rows] - coef[rows, None] * A[pr][None, :])
+        is_piv[pr] = True
+        piv_rows.append(pr)
+        piv_cols.append(j)
+    rank = len(piv_rows)
+    qinv = np.full(m, -1, np.int64)
+    qinv[piv_cols] = np.arange(rank)
+    return dict(R=A[:, :m].astype(np.int32), rank=rank,
+                piv_rows=np.array(piv_rows, np.int64),
+                piv_cols=np.array(piv_cols, np.int64), qinv=qinv,
+                T=A[:, m:].astype(np.int32) if want_transform else None)

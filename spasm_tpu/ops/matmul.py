@@ -31,17 +31,26 @@ from ..field import Field, num_limbs
 from . import modmul
 
 # Max k-chunk so that a single limb-pair product sum plus cross-diagonal
-# accumulation stays below 2**31: chunk * 4096 * nl <= 2**30.
+# accumulation stays below 2**31: chunk * 128*128 * nl <= 2**30.
 def _k_chunk(nl: int) -> int:
-    return max(128, (1 << 30) // (4096 * nl) // 128 * 128)
+    return max(128, (1 << 30) // (16384 * nl) // 128 * 128)
 
 
-def modmatmul(f: Field, a, b):
+def modmatmul(f: Field, a, b, force: str | None = None):
     """C = a @ b (mod p), balanced int32 in, balanced int32 out.
 
     a: (n, k) int32, b: (k, m) int32.  Traced/jittable; `f` is static.
+    Dispatches to the fused Pallas kernel (ops/pallas_matmul.py) on TPU for
+    supported primes and non-trivial sizes; force='jnp'/'pallas' overrides.
     """
     modmul.check_device_prime(f)
+    if force != "jnp":
+        from . import pallas_matmul as pm
+
+        big = a.shape[0] * b.shape[1] >= (1 << 18) and a.shape[1] >= 128
+        if (force == "pallas"
+                or (pm.available() and pm.supported(f) and big)):
+            return pm.modmatmul_pallas(f, a, b)
     nl = num_limbs(f.p)
     n, k = a.shape
     k2, m = b.shape

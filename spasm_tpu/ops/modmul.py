@@ -148,24 +148,26 @@ def inv_scalar(f: Field, x):
 
 
 def to_limbs(f: Field, x, nl: int):
-    """Decompose balanced int32 values into `nl` balanced base-128 limbs
-    (each in [-64, 63], stored as int8), so that
-    ``x == sum_i limbs[i] * 128**i``.
+    """Decompose balanced int32 values into `nl` balanced base-256 limbs
+    (each in [-128, 127] — the full int8 range), so that
+    ``x == sum_i limbs[i] * 256**i``.
 
     Returns an array of shape ``x.shape + (nl,)``, dtype int8.  This is the
-    entry format for the MXU int8 modular matmul (ops/matmul.py).
+    entry format for the MXU int8 modular matmul (ops/matmul.py): base 256
+    needs only 2 limbs (4 MXU passes) for p <= 65792, vs 3 limbs (9 passes)
+    in base 128.
     """
     limbs = []
     v = x.astype(jnp.int32)
     for _ in range(nl):
-        l = ((v + 64) & 127) - 64  # balanced remainder mod 128 in [-64, 63]
+        l = ((v + 128) & 255) - 128  # balanced remainder mod 256
         limbs.append(l.astype(jnp.int8))
-        v = (v - l) >> 7
+        v = (v - l) >> 8
     return jnp.stack(limbs, axis=-1)
 
 
 def limb_weights(f: Field, nl: int):
-    """(128**(i+j)) mod p as balanced int32, for combining limb products."""
-    w = [pow(128, s, f.p) for s in range(2 * nl - 1)]
+    """(256**(i+j)) mod p as balanced int32, for combining limb products."""
+    w = [pow(256, s, f.p) for s in range(2 * nl - 1)]
     w = [x - f.p if x > f.halfp else x for x in w]
     return jnp.array(w, dtype=jnp.int32)

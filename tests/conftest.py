@@ -4,7 +4,7 @@ environment before the first jax import."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may pin a TPU here
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +12,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+# the env var alone can be overridden by preinstalled TPU plugins; the
+# config update is authoritative
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

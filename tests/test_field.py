@@ -106,8 +106,8 @@ def test_limb_roundtrip(p, rng):
     # include extremes
     xs[0], xs[1] = f.halfp, f.mhalfp
     limbs = np.asarray(modmul.to_limbs(f, jnp.array(xs), nl)).astype(np.int64)
-    assert limbs.min() >= -64 and limbs.max() <= 63
-    recon = sum(limbs[:, i] * 128**i for i in range(nl))
+    assert limbs.min() >= -128 and limbs.max() <= 127
+    recon = sum(limbs[:, i] * 256**i for i in range(nl))
     np.testing.assert_array_equal(recon, xs)
 
 

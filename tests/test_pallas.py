@@ -1,0 +1,56 @@
+"""Fused Pallas modular matmul — kernel semantics via interpret mode on the
+CPU mesh (the same kernel runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+from spasm_tpu.field import Field, field
+
+
+@pytest.mark.parametrize("p", [5, 257, 42013, 92681])
+def test_pallas_modmatmul_exact(p, rng):
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops.pallas_matmul import modmatmul_pallas, supported
+
+    f = field(p)
+    assert supported(f)
+    n, k, m = 130, 260, 140  # deliberately unaligned
+    a = f.rand((n, k), rng)
+    b = f.rand((k, m), rng)
+    got = np.asarray(modmatmul_pallas(f, jnp.asarray(a, jnp.int32),
+                                      jnp.asarray(b, jnp.int32)))
+    want = f.normalize(a.astype(object) @ b.astype(object)).astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_unsupported_prime_falls_back(rng):
+    from spasm_tpu.ops.matmul import modmatmul
+    import jax.numpy as jnp
+
+    f = field(104729)  # tier B
+    a = f.rand((8, 8), rng)
+    b = f.rand((8, 8), rng)
+    got = np.asarray(modmatmul(f, jnp.asarray(a, jnp.int32),
+                               jnp.asarray(b, jnp.int32)))
+    want = f.normalize(a.astype(object) @ b.astype(object)).astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mod_balanced_f32_exact(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops.pallas_matmul import _mod_balanced_f32
+
+    p = 42013
+    f = Field(p)
+    xs = np.concatenate([
+        rng.integers(-2**31 + 1, 2**31 - 1, 100000),
+        np.array([2**31 - 1, -2**31 + 1, p // 2, -(p // 2), p, -p, 0,
+                  p // 2 + 1, 3 * p // 2]),
+    ]).astype(np.int32)
+    got = np.asarray(jax.jit(lambda x: _mod_balanced_f32(p, x))(
+        jnp.asarray(xs)))
+    want = f.normalize(xs.astype(np.int64))
+    np.testing.assert_array_equal(got, want)
