@@ -19,7 +19,7 @@ if (not _os.environ.get("SPASM_TPU_NO_JAX_CACHE")
                        _os.path.expanduser("~/.cache/spasm_tpu_jax"))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from .field import DEFAULT_PRIME, F0, Field, field
+from .field import DEFAULT_PRIME, F0, Field, ZZp, field
 from .csr import (SparseGFp, Triplet, inverse_permutation, ipvec, pvec,
                   random_permutation)
 from .io import dumps_sms, load_sms, matrix_hash, save_pnm, save_sms
@@ -27,6 +27,13 @@ from .echelonize import LU, EchelonizeOptions, echelonize
 from .solve import (dense_back_solve, dense_forward_solve, gesv, kernel,
                     kernel_from_rref, kernel_pivots, rank, rref, rref_of_U,
                     solve, sparse_triangular_solve)
+from .graphs import (dulmage_mendelsohn, maximum_matching,
+                     strongly_connected_components, structural_rank)
+from .blocks import (Block, block_decompose, echelonize_blocks,
+                     kernel_blocks, rank_blocks)
+from .certificate import (RankCertificate, certificate_rank_create,
+                          certificate_rank_verify, factorization_verify,
+                          rank_certificate_load, rank_certificate_save)
 from .utils.logging import set_log, wtime
 
 __version__ = "0.1.0"

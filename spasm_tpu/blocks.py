@@ -116,6 +116,25 @@ def kernel_blocks(block: Block, **kwargs) -> Block:
                  block2col=block.block2col)
 
 
+def transpose_blocks(block: Block) -> Block:
+    """transpose(::Block) (src/blocks.jl:141): per-block transpose with
+    swapped index maps."""
+    return Block(blocks=[b.T for b in block.blocks],
+                 row2block=block.col2block, col2block=block.row2block,
+                 block2row=block.block2col, block2col=block.block2row)
+
+
+def blocks_U(block: Block) -> Block:
+    """Block of the U factors of a Block of LUs (src/blocks.jl:20-28)."""
+    return dataclasses.replace(block,
+                               blocks=[x.U for x in block.blocks])
+
+
+def blocks_L(block: Block) -> Block:
+    return dataclasses.replace(block,
+                               blocks=[x.L for x in block.blocks])
+
+
 def assemble(block: Block, field_: Field | None = None,
              n_rows: int | None = None) -> SparseGFp:
     """``CSR(::Block)`` (src/blocks.jl:143-170): flatten back into one

@@ -141,6 +141,9 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions) -> LU:
             Sw, enable_greedy=opts.enable_greedy_pivot_search)
         log(f"[pivots] Faugère-Lachartre: {counts['faugere-lachartre']} "
             f"pivots found [{wtime() - t0:.1f}s]")
+        log(f"[pivots] ``Faugère-Lachartre on columns'': "
+            f"{counts['faugere-lachartre-cols']} pivots found "
+            f"[{wtime() - t0:.1f}s]")
         log(f"[pivots] greedy cycle-free completion: {counts['greedy']} "
             f"pivots found [{wtime() - t0:.1f}s]")
         log(f"[pivots] {prows.size} pivots found")
@@ -170,6 +173,9 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions) -> LU:
         rest_rows = np.flatnonzero(rest_mask)
         t0 = wtime()
         S_rest = S[rest_rows]
+        est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
+        log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
+            f"estimated density : {est:.2f}")
         S_new, C = wave_eliminate(f, Upart, pcols, levels_blk, S_rest,
                                   record_coeffs=opts.L)
         dens = S_new.nnz / max(1, S_new.shape[0] * S_new.shape[1])
@@ -202,14 +208,21 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions) -> LU:
         log(f"[echelonize] finishing; density = {dens:.3f}; "
             f"aspect ratio = {aspect:.1f}")
         dense_elems = nrows * alive_cols.size
-        use_dense = (opts.enable_dense and dense_elems <= opts.dense_budget
+        dense_piv_start = None
+        # blocked dense memory needs O((block + rank_tail) * na), not
+        # O(nrows * na) — tall matrices are always dense-finishable
+        na = alive_cols.size
+        use_dense = (opts.enable_dense
+                     and (opts.dense_block_size + min(nrows, na)) * na
+                     <= opts.dense_budget
                      and (dens >= opts.sparsity_threshold
                           or not opts.enable_GPLU
-                          or dense_elems <= 1_000_000))
-        dense_piv_start = None
+                          or dense_elems <= 1_000_000
+                          or (opts.enable_tall_and_skinny
+                              and nrows > opts.tall_and_skinny_ratio * na)))
         if use_dense:
-            blk = _dense_finish(f, S, row_origin, alive_cols, r, opts,
-                                L_parts)
+            blk = _dense_finish_blocked(f, S, row_origin, alive_cols, r,
+                                        opts, L_parts)
             if blk is not None:
                 dense_piv_start = r
         else:
@@ -275,119 +288,312 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions) -> LU:
     return fact
 
 
-def _dense_finish(f: Field, S, row_origin, alive_cols, r0, opts, L_parts):
-    """Dense device RREF of the remaining Schur complement — the FFPACK
-    path (src/SpaSM.jl:802-812).  Columns are compressed to alive_cols."""
-    nrows = S.shape[0]
-    log(f"[echelonize/dense] processing matrix of dimension "
-        f"{nrows} x {alive_cols.size}")
-    col_of = {c: i for i, c in enumerate(alive_cols)}
-    Sd = np.zeros((nrows, alive_cols.size), dtype=np.int32)
-    Sc = S.tocoo()
+def schur_estimate_density(f: Field, U_sp, piv_cols, levels, S_rest,
+                           samples: int = 100, rng=None):
+    """Monte-Carlo Schur density estimate (``spasm_schur_estimate_density``,
+    src/SpaSM.jl:763): eliminate a random sample of the remaining rows and
+    measure the resulting fill."""
+    q, m = S_rest.shape
+    if q == 0 or m == 0:
+        return 0.0
+    if q <= samples:
+        sample = S_rest
+    else:
+        rng = np.random.default_rng(0) if rng is None else rng
+        rows = rng.choice(q, size=samples, replace=False)
+        sample = S_rest[np.sort(rows)]
+    out, _ = wave_eliminate(f, U_sp, piv_cols, levels, sample)
+    return out.nnz / max(1, out.shape[0] * m)
+
+
+def _dense_finish_blocked(f: Field, S, row_origin, alive_cols, r0, opts,
+                          L_parts):
+    """Blocked dense finish — the FFPACK-replacement path
+    (``spasm_schur_dense`` / ``spasm_ffpack_rref`` / tall-and-skinny +
+    ``spasm_schur_dense_randomized``, src/SpaSM.jl:760-812).
+
+    The remaining rows are processed in dense row blocks against an
+    accumulated dense RREF kept in **full mutual reduced form**, so
+    eliminating a block is always ONE exact MXU modular matmul, and the
+    per-block rank extraction is the device Jordan RREF on a fixed
+    (block x na) shape (Pallas panel kernel eligible).  Memory is bounded
+    by O((block + rank_tail) * na) regardless of the number of rows.
+
+    On device, everything stays resident: blocks upload as COO, only pivot
+    metadata and the final sparse U travel back.  Small problems run on
+    the host (NumPy int64) outright.
+
+    In low-rank situations, once a block stops yielding pivots a
+    randomized Monte-Carlo pass (random weight-w combinations of ALL
+    remaining rows) certifies the tail dependent and skips it (disabled
+    when an exact L factor is requested).
+    """
+    n_s = S.shape[0]
+    na = alive_cols.size
+    bs = min(n_s, max(128, opts.dense_block_size))
     colmap = np.full(S.shape[1], -1, np.int64)
-    colmap[alive_cols] = np.arange(alive_cols.size)
-    Sd[Sc.row, colmap[Sc.col]] = f.normalize(Sc.data)
-    out = dense_ops.rref(f, Sd)
-    rank = out["rank"]
-    if rank == 0:
+    colmap[alive_cols] = np.arange(na)
+    Sc = S.tocoo()
+    rows_all = Sc.row
+    cols_all = colmap[Sc.col]
+    vals_all = f.normalize(Sc.data)
+    order = np.argsort(rows_all, kind="stable")
+    rows_all, cols_all, vals_all = (rows_all[order], cols_all[order],
+                                    vals_all[order])
+
+    device_mode = bs * na >= dense_ops.HOST_CUTOFF
+    log(f"[echelonize/dense] processing {n_s} x {na} in blocks of {bs} "
+        f"({'device' if device_mode else 'host'})")
+    if device_mode:
+        result = _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all,
+                                      vals_all, opts)
+    else:
+        result = _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all,
+                                    vals_all, opts)
+    if result is None:
         return None
-    R = out["R"][out["piv_rows"]]  # (rank, n_alive) canonical RREF rows
-    piv_cols_local = out["piv_cols"]
-    # back to original column space
-    Rsp = sp.csr_matrix(R.astype(np.int64))
-    Rsp = sp.csr_matrix((Rsp.data, alive_cols[Rsp.indices], Rsp.indptr),
-                        shape=(rank, S.shape[1]))
-    pcols = alive_cols[piv_cols_local]
-    porig = row_origin[out["piv_rows"]]
+    Usp_local, piv_cols_loc, piv_rows_glob = result
+    r_d = piv_cols_loc.size
+    log(f"[echelonize/dense] done, {r_d} pivots")
+    Usp = sp.csr_matrix(Usp_local)
+    Usp = sp.csr_matrix((Usp.data, alive_cols[Usp.indices], Usp.indptr),
+                        shape=(r_d, S.shape[1]))
+    pcols = alive_cols[piv_cols_loc]
+    porig = row_origin[piv_rows_glob]
     if opts.L:
-        # dense U block is a full RREF: every S row reduces against it with
-        # coefficients = its values at the pivot columns (single wave)
+        # the dense U block is a full RREF: every S row reduces against it
+        # with coefficients = its values at the pivot columns
         Csub = sp.csc_matrix(S)[:, pcols].tocoo()
         L_parts.append((row_origin[Csub.row], r0 + Csub.col, Csub.data))
-    log("[echelonize/dense] done")
-    return mod_reduce(Rsp, f), pcols.astype(np.int64), porig
+    return mod_reduce(Usp, f), pcols.astype(np.int64), porig
+
+
+def _block_slice(rows_all, cols_all, vals_all, b0, b1):
+    lo = np.searchsorted(rows_all, b0)
+    hi = np.searchsorted(rows_all, b1)
+    return rows_all[lo:hi] - b0, cols_all[lo:hi], vals_all[lo:hi]
+
+
+def _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all, vals_all, opts):
+    from .sputil import dense_matmul_host
+
+    Uh = np.zeros((0, na), np.int64)
+    piv_cols_loc: list[int] = []
+    piv_rows_glob: list[int] = []
+    dry_blocks = 0
+    b0 = 0
+    while b0 < n_s:
+        b1 = min(n_s, b0 + bs)
+        ri, ci, vi = _block_slice(rows_all, cols_all, vals_all, b0, b1)
+        X = np.zeros((b1 - b0, na), np.int64)
+        X[ri, ci] = vi
+        r_d = len(piv_cols_loc)
+        if r_d:
+            coeff = X[:, np.array(piv_cols_loc, np.int64)]
+            X = f.normalize(X - dense_matmul_host(f, coeff, Uh))
+        out = dense_ops.rref(f, X)
+        new_rank = out["rank"]
+        if new_rank:
+            newU = out["R"][out["piv_rows"]].astype(np.int64)
+            if r_d:
+                co = Uh[:, out["piv_cols"]]
+                Uh = f.normalize(Uh - dense_matmul_host(f, co, newU))
+            Uh = np.vstack([Uh, newU])
+            piv_cols_loc.extend(out["piv_cols"].tolist())
+            piv_rows_glob.extend((b0 + out["piv_rows"]).tolist())
+            dry_blocks = 0
+        else:
+            dry_blocks += 1
+        b0 = b1
+        if dry_blocks >= 1 and not opts.L and b0 < n_s and piv_cols_loc:
+            if _randomized_tail_is_dependent(
+                    f, rows_all, cols_all, vals_all, b0, n_s, na, Uh,
+                    np.array(piv_cols_loc, np.int64), opts):
+                log(f"[echelonize/dense] randomized check: remaining "
+                    f"{n_s - b0} rows dependent; skipping")
+                break
+    if not piv_cols_loc:
+        return None
+    return (sp.csr_matrix(Uh), np.array(piv_cols_loc, np.int64),
+            np.array(piv_rows_glob, np.int64))
+
+
+def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
+                         opts):
+    """Device-resident block loop: fixed (bs_b, na_b) shapes throughout;
+    the accumulated RREF Ud lives on device in 1024-row capacity steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import modmul
+    from .ops.matmul import modmatmul
+
+    bs_b = dense_ops._bucket(bs)
+    na_b = dense_ops._bucket(na)
+    cap = 1024
+    Ud = jnp.zeros((cap, na_b), jnp.int32)
+    piv_cols_loc: list[int] = []
+    piv_rows_glob: list[int] = []
+    dry_blocks = 0
+    b0 = 0
+    while b0 < n_s:
+        b1 = min(n_s, b0 + bs)
+        ri, ci, vi = _block_slice(rows_all, cols_all, vals_all, b0, b1)
+        Xd = dense_ops.densify_coo(
+            (bs_b, na_b), jnp.asarray(ri.astype(np.int32)),
+            jnp.asarray(ci.astype(np.int32)),
+            jnp.asarray(vi.astype(np.int32)))
+        r_d = len(piv_cols_loc)
+        if r_d:
+            pc = np.zeros(cap, np.int64)
+            pc[:r_d] = piv_cols_loc
+            coeff = Xd[:, jnp.asarray(pc)]  # bogus slots hit zero U rows
+            Xd = modmul.sub(f, Xd, modmatmul(f, coeff, Ud))
+        Rd, rank_d, prow_of, pcol_of, _, _ = dense_ops._rref_jit(
+            f, Xd, na_b, dense_ops.DEFAULT_PANEL, False)
+        new_rank = int(rank_d)
+        if new_rank:
+            prow = np.asarray(prow_of)[:new_rank].astype(np.int64)
+            pcol = np.asarray(pcol_of)[:new_rank].astype(np.int64)
+            pad_u = -(-new_rank // 256) * 256
+            gather = np.zeros(pad_u, np.int64)
+            gather[:new_rank] = prow
+            newU = Rd[jnp.asarray(gather), :]
+            newU = jnp.where(
+                (jnp.arange(pad_u) < new_rank)[:, None], newU, 0)
+            if r_d:
+                npc = np.zeros(pad_u, np.int64)
+                npc[:new_rank] = pcol
+                co = Ud[:, jnp.asarray(npc)]
+                co = jnp.where(
+                    (jnp.arange(pad_u) < new_rank)[None, :], co, 0)
+                Ud = modmul.sub(f, Ud, modmatmul(f, co, newU))
+            while r_d + pad_u > cap:
+                Ud = jnp.concatenate(
+                    [Ud, jnp.zeros((1024, na_b), jnp.int32)], axis=0)
+                cap += 1024
+            # rows beyond new_rank in newU are zero: writing the whole
+            # padded block only re-zeroes already-zero capacity rows
+            Ud = jax.lax.dynamic_update_slice(Ud, newU, (r_d, 0))
+            piv_cols_loc.extend(pcol.tolist())
+            piv_rows_glob.extend((b0 + prow).tolist())
+            dry_blocks = 0
+        else:
+            dry_blocks += 1
+        b0 = b1
+        if dry_blocks >= 1 and not opts.L and b0 < n_s and piv_cols_loc:
+            nnz_d = dense_ops.count_nonzero_device(Ud)
+            ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
+            er, ec, ev = (np.asarray(x)
+                          for x in dense_ops.extract_sparse(Ud, ecap))
+            keep = er >= 0
+            Uh = np.zeros((len(piv_cols_loc), na), np.int64)
+            Uh[er[keep], ec[keep]] = ev[keep]
+            if _randomized_tail_is_dependent(
+                    f, rows_all, cols_all, vals_all, b0, n_s, na, Uh,
+                    np.array(piv_cols_loc, np.int64), opts):
+                log(f"[echelonize/dense] randomized check: remaining "
+                    f"{n_s - b0} rows dependent; skipping")
+                break
+    r_d = len(piv_cols_loc)
+    if r_d == 0:
+        return None
+    nnz_d = dense_ops.count_nonzero_device(Ud)
+    ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
+    er, ec, ev = (np.asarray(x) for x in dense_ops.extract_sparse(Ud, ecap))
+    keep = (er >= 0) & (er < r_d) & (ec < na)
+    Usp = sp.csr_matrix(
+        (ev[keep].astype(np.int64), (er[keep], ec[keep])),
+        shape=(r_d, na))
+    return (Usp, np.array(piv_cols_loc, np.int64),
+            np.array(piv_rows_glob, np.int64))
+
+
+def _randomized_tail_is_dependent(f, rows_all, cols_all, vals_all, b0, n_s,
+                                  na, Uh, piv_cols_loc, opts,
+                                  samples: int = 8):
+    """spasm_schur_dense_randomized-style check: N random weight-w
+    combinations of the unprocessed rows; dependent (whp) iff all reduce to
+    zero against the dense RREF."""
+    from .sputil import dense_matmul_host
+
+    rng = np.random.default_rng(12345)
+    w = int(opts.low_rank_start_weight)
+    if w <= 0:
+        w = 16
+    tail_rows = np.arange(b0, n_s)
+    w = min(w, tail_rows.size)
+    X = np.zeros((samples, na), np.int64)
+    mask_tail = (rows_all >= b0)
+    rt, ct, vt = (rows_all[mask_tail], cols_all[mask_tail],
+                  vals_all[mask_tail])
+    order = np.argsort(rt, kind="stable")
+    rt, ct, vt = rt[order], ct[order], vt[order]
+    starts = np.searchsorted(rt, tail_rows)
+    ends = np.searchsorted(rt, tail_rows + 1)
+    for s in range(samples):
+        picks = rng.choice(tail_rows.size, size=w, replace=False)
+        for t in picks:
+            coef = int(f.rand(1, rng)[0]) or 1
+            sl = slice(starts[t], ends[t])
+            X[s, ct[sl]] = f.normalize(X[s, ct[sl]] + coef * vt[sl])
+    X = f.normalize(X)
+    res = f.normalize(X - dense_matmul_host(f, X[:, piv_cols_loc], Uh))
+    return not bool(res.any())
 
 
 def _gplu_finish(f: Field, S, row_origin, r0, opts, L_parts):
-    """GPLU-style left-looking sparse elimination of the tail on the host
-    (src/SpaSM.jl:815, README.md:34-36 '[echelonize/GPLU]').
+    """Sparse left-looking finish — the GPLU role (src/SpaSM.jl:815,
+    README.md:34-36 '[echelonize/GPLU]'), reformulated batch-wise.
 
-    Processes rows sequentially; each row is eliminated against the pivots
-    found so far (worklist in pivot order — valid because GPLU pivots also
-    satisfy the append invariant), then becomes a pivot if nonzero."""
-    import heapq
-
+    Left-looking GPLU processes one row at a time against the pivots found
+    so far.  Batched equivalent: iterate structural-pivot rounds with no
+    stopping threshold — FL always yields at least one pivot per nonzero
+    matrix, every round's pivot set is cycle-free, and the global order
+    keeps the append invariant, so this terminates with the same rank/row
+    space and stays fully vectorized (scipy waves) instead of a per-row
+    Python scatter loop."""
     n_s, m = S.shape
     log(f"[echelonize/GPLU] processing matrix of dimension {n_s} x {m}")
     S = mod_reduce(S, f)
-    qinv_loc = {}            # col -> local pivot index
-    U_rows: list[tuple] = []  # (cols array, vals array)
-    piv_cols: list[int] = []
-    piv_rows_origin: list[int] = []
-    p64 = f.p
-    for i in range(n_s):
-        lo, hi = S.indptr[i], S.indptr[i + 1]
-        x = {}  # col -> value (python ints, exact)
-        heap = []
-        for c, v in zip(S.indices[lo:hi], S.data[lo:hi]):
-            x[int(c)] = int(v)
-            k = qinv_loc.get(int(c))
-            if k is not None:
-                heapq.heappush(heap, k)
-        coeffs = {}
-        seen = set()
-        while heap:
-            k = heapq.heappop(heap)
-            if k in seen:
-                continue
-            seen.add(k)
-            c_k = piv_cols[k]
-            coef = x.get(c_k, 0) % p64
-            if coef == 0:
-                continue
-            coeffs[k] = coef
-            ucols, uvals = U_rows[k]
-            for c, v in zip(ucols, uvals):
-                c = int(c)
-                nv = (x.get(c, 0) - coef * int(v)) % p64
-                if nv:
-                    x[c] = nv
-                    k2 = qinv_loc.get(c)
-                    if k2 is not None and k2 not in seen:
-                        heapq.heappush(heap, k2)
-                else:
-                    x.pop(c, None)
-        x = {c: v % p64 for c, v in x.items() if v % p64}
-        if opts.L and coeffs:
-            ks = np.fromiter(coeffs.keys(), np.int64)
-            vs = f.normalize(np.fromiter(coeffs.values(), np.int64))
-            L_parts.append((np.full(ks.size, row_origin[i]), r0 + ks, vs))
-        if x:
-            j = min(x)
-            pv = x[j]
-            pinv = int(f.to_unsigned(f.inv(pv)))
-            cols = np.fromiter(sorted(x.keys()), np.int64)
-            vals = f.normalize(
-                np.array([x[c] * pinv for c in cols], dtype=object))
-            k_new = len(piv_cols)
-            qinv_loc[j] = k_new
-            U_rows.append((cols, vals.astype(np.int64)))
-            piv_cols.append(j)
-            piv_rows_origin.append(int(row_origin[i]))
-            if opts.L:
-                L_parts.append((np.array([row_origin[i]]),
-                                np.array([r0 + k_new]),
-                                np.array([int(f.normalize(pv))])))
-    if not piv_cols:
+    U_blocks = []
+    piv_cols_all = []
+    piv_orig_all = []
+    r_local = 0
+    while S.shape[0] and S.nnz:
+        Sw = SparseGFp.from_scipy(S, f.p)
+        prows, pcols, _ = find_structural_pivots(Sw, enable_greedy=True)
+        assert prows.size > 0, "FL must find a pivot in a nonzero matrix"
+        npiv = prows.size
+        Upart = sp.csr_matrix(S[prows])
+        piv_vals = np.asarray(
+            Upart[np.arange(npiv), pcols]).ravel().astype(np.int64)
+        scales = f.inv(piv_vals)
+        row_of = np.repeat(np.arange(npiv), np.diff(Upart.indptr))
+        Upart.data = f.normalize(Upart.data * scales[row_of])
+        levels_blk = compute_levels(SparseGFp.from_scipy(Upart, f.p), pcols)
+        rest_mask = np.ones(S.shape[0], bool)
+        rest_mask[prows] = False
+        rest_rows = np.flatnonzero(rest_mask)
+        S_new, C = wave_eliminate(f, Upart, pcols, levels_blk, S[rest_rows],
+                                  record_coeffs=opts.L)
+        if opts.L:
+            L_parts.append((row_origin[prows],
+                            r0 + r_local + np.arange(npiv), piv_vals))
+            Cc = C.tocoo()
+            L_parts.append((row_origin[rest_rows][Cc.row],
+                            r0 + r_local + Cc.col, Cc.data))
+        U_blocks.append(Upart)
+        piv_cols_all.append(pcols.astype(np.int64))
+        piv_orig_all.append(row_origin[prows])
+        r_local += npiv
+        S = S_new
+        row_origin = row_origin[rest_rows]
+    if r_local == 0:
         log("[echelonize/GPLU] empty tail")
         return None
-    log("[echelonize/GPLU] full rank reached" if len(piv_cols) == n_s
-        else f"[echelonize/GPLU] rank {len(piv_cols)}")
-    rows_i = np.concatenate([np.full(c.size, k, np.int64)
-                             for k, (c, _) in enumerate(U_rows)])
-    cols_j = np.concatenate([c for c, _ in U_rows])
-    vals_v = np.concatenate([v for _, v in U_rows])
-    Usp = sp.csr_matrix((vals_v, (rows_i, cols_j)),
-                        shape=(len(piv_cols), m), dtype=np.int64)
-    return (mod_reduce(Usp, f), np.array(piv_cols, np.int64),
-            np.array(piv_rows_origin, np.int64))
+    log("[echelonize/GPLU] full rank reached" if r_local == n_s
+        else f"[echelonize/GPLU] rank {r_local}")
+    Usp = sp.vstack(U_blocks, format="csr")
+    return (mod_reduce(Usp, f), np.concatenate(piv_cols_all),
+            np.concatenate(piv_orig_all))

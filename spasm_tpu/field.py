@@ -155,6 +155,71 @@ class Field:
         return f"GF({self.p})"
 
 
+class ZZp:
+    """Scalar field element in the balanced representation — the analog of
+    the reference's ``ZZp{F} <: Number`` (src/SpaSM.jl:79-121).  Array code
+    should use Field's vectorized methods; this class is API-completeness
+    sugar for scalar work."""
+
+    __slots__ = ("field", "v")
+
+    def __init__(self, x, field_: "Field | None" = None):
+        self.field = field_ if field_ is not None else Field(DEFAULT_PRIME)
+        self.v = int(self.field.normalize(int(x)))
+
+    def _check(self, other):
+        if isinstance(other, ZZp):
+            if other.field.p != self.field.p:
+                raise ValueError(
+                    f"mixing GF({self.field.p}) and GF({other.field.p})")
+            return other.v
+        return int(other)
+
+    def __add__(self, other):
+        return ZZp(self.v + self._check(other), self.field)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return ZZp(self.v - self._check(other), self.field)
+
+    def __rsub__(self, other):
+        return ZZp(self._check(other) - self.v, self.field)
+
+    def __mul__(self, other):
+        return ZZp(self.v * self._check(other), self.field)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return ZZp(-self.v, self.field)
+
+    def inv(self):
+        return ZZp(int(self.field.inv(self.v)), self.field)
+
+    def __truediv__(self, other):
+        o = ZZp(self._check(other), self.field)
+        return self * o.inv()
+
+    def __eq__(self, other):
+        if isinstance(other, ZZp):
+            return self.field.p == other.field.p and self.v == other.v
+        return self.v == self.field.normalize(int(other))
+
+    def __hash__(self):
+        return hash((self.field.p, self.v))
+
+    def __int__(self):
+        return self.v
+
+    def lift(self) -> int:
+        """Unsigned representative in [0, p)."""
+        return self.v + self.field.p if self.v < 0 else self.v
+
+    def __repr__(self):
+        return f"{self.v}"
+
+
 F0 = Field(DEFAULT_PRIME)
 
 

@@ -51,22 +51,32 @@ def load_sms(path_or_file, p: int = DEFAULT_PRIME, get_hash: bool = False,
         raw = raw.encode()
     digest = hashlib.sha256(raw).digest() if get_hash else None
 
-    tokens = raw.split()
-    if len(tokens) < 3:
+    if len(raw.split(None, 3)) < 3:
         raise ValueError("truncated SMS file")
-    n = int(tokens[0])
-    m = int(tokens[1])
-    # tokens[2] is the field marker ('M'); silently skipped like the
-    # reference's fast parser (src/SpaSM.jl:1063-1086)
-    body = tokens[3:]
-    if len(body) % 3:
-        raise ValueError("SMS entry count not a multiple of 3")
-    arr = np.array(body, dtype=np.int64).reshape(-1, 3)
-    # find the 0 0 0 terminator
-    stop = np.flatnonzero((arr == 0).all(axis=1))
-    if stop.size:
-        arr = arr[: stop[0]]
-    i, j, v = arr[:, 0] - 1, arr[:, 1] - 1, arr[:, 2]
+
+    from .native import parse_sms_native
+
+    parsed = parse_sms_native(raw)
+    if parsed is not None:
+        n, m, i, j, v = parsed
+        i, j = i - 1, j - 1
+    else:
+        tokens = raw.split()
+        if len(tokens) < 3:
+            raise ValueError("truncated SMS file")
+        n = int(tokens[0])
+        m = int(tokens[1])
+        # tokens[2] is the field marker ('M'); silently skipped like the
+        # reference's fast parser (src/SpaSM.jl:1063-1086)
+        body = tokens[3:]
+        if len(body) % 3:
+            raise ValueError("SMS entry count not a multiple of 3")
+        arr = np.array(body, dtype=np.int64).reshape(-1, 3)
+        # find the 0 0 0 terminator
+        stop = np.flatnonzero((arr == 0).all(axis=1))
+        if stop.size:
+            arr = arr[: stop[0]]
+        i, j, v = arr[:, 0] - 1, arr[:, 1] - 1, arr[:, 2]
 
     f = field(p)
     if csr:

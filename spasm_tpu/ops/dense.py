@@ -109,12 +109,22 @@ def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
     if m_pad != m:
         X = jnp.pad(X, ((0, 0), (0, m_pad - m)))
 
+    from . import pallas_panel
+
+    use_pallas_panel = (pallas_panel.available()
+                        and pallas_panel.supported(f, n))
+
     def do_panel(pi, carry):
         X, is_piv, rank, prow_of, pcol_of = carry
         j0 = pi * panel
         P = jax.lax.dynamic_slice(X, (0, j0), (n, panel))
-        P, G, s, prows, pcols, pfound, is_piv = _panel_eliminate(
-            f, P, is_piv, j0, npivcols)
+        if use_pallas_panel:
+            P, G, s, prows, pcols, pfound, is_piv = (
+                pallas_panel.panel_eliminate_pallas(f, npivcols, P, is_piv,
+                                                    j0))
+        else:
+            P, G, s, prows, pcols, pfound, is_piv = _panel_eliminate(
+                f, P, is_piv, j0, npivcols)
         # rank-c correction applied to every column (panel cols overwritten)
         piv_block = X[prows, :]  # (c, m_pad); dummy slots have zero G col
         upd = modmul.add(f, modmul.mul(f, s[:, None], X),
@@ -158,13 +168,39 @@ def _rref_jit(f: Field, X, npivcols: int, panel: int, want_transform: bool):
 HOST_CUTOFF = 1 << 20
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def densify_coo(shape, rows, cols, vals):
+    """Scatter COO entries into a dense int32 array on device (saves a
+    dense host->device transfer when nnz << n*m)."""
+    out = jnp.zeros(shape, jnp.int32)
+    return out.at[rows, cols].set(vals)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def extract_sparse(X, cap: int):
+    """Device-side sparsity extraction with a static capacity: returns
+    (rows, cols, vals) padded to cap (padding rows = -1).  Saves a dense
+    device->host transfer when the result is sparse."""
+    r, c = jnp.nonzero(X, size=cap, fill_value=-1)
+    v = X[jnp.clip(r, 0, X.shape[0] - 1), jnp.clip(c, 0, X.shape[1] - 1)]
+    v = jnp.where(r >= 0, v, 0)
+    return r, c, v
+
+
+def count_nonzero_device(X) -> int:
+    return int(jnp.count_nonzero(X))
+
+
 def _bucket(x: int) -> int:
-    """Next power of two (>= 128): device shapes are bucketed so the jitted
-    kernel compiles once per bucket, not once per matrix."""
-    b = 128
-    while b < x:
-        b <<= 1
-    return b
+    """Bucket device shapes so the jitted kernel compiles once per bucket:
+    powers of two up to 1024, then multiples of 1024 (the n*m^2 elimination
+    cost makes power-of-two padding waste up to 2.4x at large sizes)."""
+    if x <= 1024:
+        b = 128
+        while b < x:
+            b <<= 1
+        return b
+    return -(-x // 1024) * 1024
 
 
 def rref(f: Field, X, want_transform: bool = False,

@@ -81,6 +81,48 @@ def fl_row_pivots(A: SparseGFp, row_mask=None, col_mask=None):
     return rows[first], min_col[first]
 
 
+def fl_col_pivots(A: SparseGFp, col_selected, row_used):
+    """Faugère-Lachartre "on columns" (README.md:22): for each unused
+    column, the topmost unused row; a candidate row is accepted only if it
+    has no entries in already-selected columns.
+
+    Soundness of the combined order: among these pivots, u_k touching c_l
+    implies row_k >= row_l (row_l is c_l's topmost candidate), so listing
+    them by DECREASING row index makes every elimination edge point
+    earlier -> later; the explicit column check handles edges vs the
+    FL-row pivots (which precede them in the global list).
+
+    Returns (rows, cols) in decreasing-row order; masks updated in place.
+    """
+    i, j, _ = A.to_coo()
+    cand = (~row_used[i]) & (~col_selected[j])
+    i, j = i[cand], j[cand]
+    if i.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    # topmost unused row per column
+    order = np.lexsort((i, j))
+    i, j = i[order], j[order]
+    first = np.ones(j.size, bool)
+    first[1:] = j[1:] != j[:-1]
+    rows_c, cols_c = i[first], j[first]
+    # one pivot per row: keep the first column for each row
+    order2 = np.lexsort((cols_c, rows_c))
+    rows_c, cols_c = rows_c[order2], cols_c[order2]
+    keep = np.ones(rows_c.size, bool)
+    keep[1:] = rows_c[1:] != rows_c[:-1]
+    rows_c, cols_c = rows_c[keep], cols_c[keep]
+    # append-invariant check vs previously selected columns
+    ok = np.fromiter(
+        (not col_selected[A.row(r)[0]].any() for r in rows_c),
+        bool, count=rows_c.size)
+    rows_c, cols_c = rows_c[ok], cols_c[ok]
+    # decreasing row order
+    rows_c, cols_c = rows_c[::-1].copy(), cols_c[::-1].copy()
+    row_used[rows_c] = True
+    col_selected[cols_c] = True
+    return rows_c.astype(np.int64), cols_c.astype(np.int64)
+
+
 def greedy_pivots(A: SparseGFp, col_selected, row_used, max_passes=2):
     """Greedy cycle-free completion under the append invariant.
 
@@ -125,10 +167,13 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True):
     row_used = np.zeros(n, bool)
     col_selected[fl_c] = True
     row_used[fl_r] = True
+    c_r, c_c = fl_col_pivots(A, col_selected, row_used)
     if enable_greedy:
         g_r, g_c = greedy_pivots(A, col_selected, row_used)
     else:
         g_r = g_c = np.zeros(0, np.int64)
-    rows = np.concatenate([fl_r, g_r])
-    cols = np.concatenate([fl_c, g_c])
-    return rows, cols, {"faugere-lachartre": fl_r.size, "greedy": g_r.size}
+    rows = np.concatenate([fl_r, c_r, g_r])
+    cols = np.concatenate([fl_c, c_c, g_c])
+    return rows, cols, {"faugere-lachartre": fl_r.size,
+                        "faugere-lachartre-cols": c_r.size,
+                        "greedy": g_r.size}

@@ -39,3 +39,19 @@ def safe_spgemm(f: Field, a, b):
 def safe_sub(f: Field, a, b):
     """a - b mod p, balanced."""
     return mod_reduce(sp.csr_matrix(a) - sp.csr_matrix(b), f)
+
+
+def dense_matmul_host(f: Field, a, b):
+    """Exact dense a @ b mod p on the host (int64, chunked)."""
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    half = max(1, f.halfp)
+    safe_k = max(1, (1 << 62) // (half * half))
+    k = a.shape[1]
+    if k <= safe_k:
+        return f.normalize(a @ b)
+    acc = np.zeros((a.shape[0], b.shape[1]), np.int64)
+    for c0 in range(0, k, safe_k):
+        c1 = min(k, c0 + safe_k)
+        acc = f.normalize(acc + f.normalize(a[:, c0:c1] @ b[c0:c1]))
+    return acc

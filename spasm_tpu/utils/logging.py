@@ -59,3 +59,15 @@ def log(msg: str):
 def wtime() -> float:
     """spasm_wtime (src/SpaSM.jl:430)."""
     return time.time()
+
+
+def human_format(n: int) -> str:
+    """Pretty big-number printing (``spasm_human_format``,
+    src/SpaSM.jl:466-468)."""
+    n = float(n)
+    for unit in ("", "k", "M", "G", "T"):
+        if abs(n) < 1000:
+            s = f"{n:.1f}".rstrip("0").rstrip(".")
+            return f"{s}{unit}"
+        n /= 1000.0
+    return f"{n:.1f}P"
