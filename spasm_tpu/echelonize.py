@@ -105,17 +105,24 @@ class LU:
 
 
 def echelonize(A: SparseGFp, opts: EchelonizeOptions | None = None,
-               verbose=False, **kwargs) -> LU:
+               verbose=False, checkpoint: str | None = None,
+               resume: str | None = None, **kwargs) -> LU:
     """Echelonize A (src/SpaSM.jl:860-866).  `verbose` may be a bool or an
-    nnz threshold (reference semantics: verbose = nnz(A) >= threshold)."""
+    nnz threshold (reference semantics: verbose = nnz(A) >= threshold).
+
+    checkpoint: path to persist round-granular state after every round
+    (checkpoint.py); resume: path of a previous checkpoint to continue
+    from (the same A must be passed)."""
     opts = parse_echelonize_opts(opts, **kwargs)
     if not isinstance(verbose, bool):
         verbose = A.nnz >= verbose
     with push_verbose(verbose):
-        return _echelonize_impl(A, opts)
+        return _echelonize_impl(A, opts, checkpoint, resume)
 
 
-def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions) -> LU:
+def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
+                     checkpoint: str | None = None,
+                     resume: str | None = None) -> LU:
     f = A.field
     n, m = A.shape
     t_start = wtime()
@@ -131,6 +138,23 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions) -> LU:
     r = 0
 
     round_idx = 0
+    if resume:
+        from . import checkpoint as ckpt
+
+        state = ckpt.load_state(resume)
+        if state["field_p"] != f.p:
+            raise ValueError("checkpoint prime differs from matrix prime")
+        S = state["S"]
+        row_origin = state["row_origin"]
+        r = state["r"]
+        round_idx = state["round_idx"]
+        if r:
+            U_blocks.append(state["U"])
+            piv_cols_all.append(state["piv_cols"])
+            piv_origin_all.append(state["piv_origin"])
+        L_parts.extend(state["L_parts"])
+        log(f"[echelonize] resumed at round {round_idx}, rank {r}")
+
     while round_idx < opts.max_round:
         if S.shape[0] == 0 or S.nnz == 0:
             break
@@ -198,6 +222,23 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions) -> LU:
         S = S_new
         row_origin = row_origin[rest_rows]
         round_idx += 1
+        if checkpoint:
+            from . import checkpoint as ckpt
+
+            U_cat = sp.vstack(U_blocks, format="csr") if U_blocks else \
+                sp.csr_matrix((0, m), dtype=np.int64)
+            ckpt.save_state(
+                checkpoint, field_p=f.p, round_idx=round_idx, r=r, S=S,
+                row_origin=row_origin, U_sp=U_cat,
+                piv_cols=(np.concatenate(piv_cols_all) if piv_cols_all
+                          else np.zeros(0, np.int64)),
+                piv_origin=(np.concatenate(piv_origin_all)
+                            if piv_origin_all else np.zeros(0, np.int64)),
+                opts_dict={k: v for k, v in
+                           dataclasses.asdict(opts).items()
+                           if isinstance(v, (int, float, bool))},
+                L_parts=L_parts if opts.L else None)
+            log(f"[echelonize] checkpoint saved at round {round_idx}")
 
     # ---------------- finish ----------------
     if S.shape[0] and S.nnz:
@@ -405,7 +446,8 @@ def _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all, vals_all, opts):
         else:
             dry_blocks += 1
         b0 = b1
-        if dry_blocks >= 1 and not opts.L and b0 < n_s and piv_cols_loc:
+        if (_low_rank_mode(opts, len(piv_cols_loc), b0, n_s)
+                and dry_blocks >= 1 and not opts.L and piv_cols_loc):
             if _randomized_tail_is_dependent(
                     f, rows_all, cols_all, vals_all, b0, n_s, na, Uh,
                     np.array(piv_cols_loc, np.int64), opts):
@@ -416,6 +458,16 @@ def _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all, vals_all, opts):
         return None
     return (sp.csr_matrix(Uh), np.array(piv_cols_loc, np.int64),
             np.array(piv_rows_glob, np.int64))
+
+
+def _low_rank_mode(opts, rank_so_far, rows_processed, n_s):
+    """The randomized tail shortcut engages only in genuinely low-rank
+    situations (``low_rank_ratio``, src/SpaSM.jl:341): the rank harvested
+    so far must be below low_rank_ratio * rows processed, and low-rank
+    mode (enable_tall_and_skinny, --no-low-rank-mode) must be on."""
+    if not opts.enable_tall_and_skinny or rows_processed >= n_s:
+        return False
+    return rank_so_far < opts.low_rank_ratio * max(1, rows_processed)
 
 
 def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
@@ -481,7 +533,8 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
         else:
             dry_blocks += 1
         b0 = b1
-        if dry_blocks >= 1 and not opts.L and b0 < n_s and piv_cols_loc:
+        if (_low_rank_mode(opts, len(piv_cols_loc), b0, n_s)
+                and dry_blocks >= 1 and not opts.L and piv_cols_loc):
             nnz_d = dense_ops.count_nonzero_device(Ud)
             ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
             er, ec, ev = (np.asarray(x)

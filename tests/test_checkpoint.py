@@ -1,0 +1,72 @@
+"""Round-granular checkpoint / resume + profiling hooks."""
+
+import numpy as np
+import pytest
+
+import spasm_tpu as st
+from spasm_tpu import SparseGFp, echelonize, field
+from spasm_tpu.solve import rref_of_U
+
+F = field(42013)
+
+
+def test_checkpoint_resume_equivalence(rng, tmp_path):
+    A = SparseGFp.rand(F, 60, 60, 0.06, rng)
+    path = str(tmp_path / "state.npz")
+    # run with checkpointing: state saved after each round
+    f_full = echelonize(A, checkpoint=path, max_round=3)
+    # resume from the saved state (post last round) and finish again
+    f_res = echelonize(A, resume=path, max_round=3)
+    assert f_res.r == f_full.r
+    assert rref_of_U(f_res) == rref_of_U(f_full)
+
+
+def test_checkpoint_resume_midway(rng, tmp_path):
+    A = SparseGFp.rand(F, 80, 80, 0.05, rng)
+    p1 = str(tmp_path / "r1.npz")
+    # stop after one round, checkpointing
+    f1 = echelonize(A, checkpoint=p1, max_round=1)
+    # resume and allow more rounds
+    f2 = echelonize(A, resume=p1, max_round=3)
+    f_ref = echelonize(A, max_round=3)
+    assert f2.r == f_ref.r == f1.r
+    assert rref_of_U(f2) == rref_of_U(f_ref)
+
+
+def test_checkpoint_wrong_prime(rng, tmp_path):
+    A = SparseGFp.rand(F, 20, 20, 0.2, rng)
+    path = str(tmp_path / "s.npz")
+    echelonize(A, checkpoint=path, max_round=1)
+    B = SparseGFp.rand(field(65537), 20, 20, 0.2, rng)
+    with pytest.raises(ValueError):
+        echelonize(B, resume=path)
+
+
+def test_checkpoint_with_L(rng, tmp_path):
+    A = SparseGFp.rand(F, 50, 50, 0.08, rng)
+    path = str(tmp_path / "l.npz")
+    echelonize(A, checkpoint=path, L=True, max_round=2)
+    fact = echelonize(A, resume=path, L=True, max_round=2)
+    assert fact.L @ fact.U == A
+
+
+def test_phase_profiling():
+    from spasm_tpu.utils.profiling import phase, phase_records, reset_phases
+
+    reset_phases()
+    with phase("outer"):
+        with phase("inner"):
+            pass
+    names = [n for n, _ in phase_records]
+    assert names == ["inner", "outer"]
+
+
+def test_multihost_helpers():
+    from spasm_tpu.parallel.multihost import (global_mesh, host_local_rows,
+                                              initialize)
+
+    nproc, pid = initialize()
+    assert nproc >= 1 and pid == 0
+    mesh = global_mesh()
+    lo, hi = host_local_rows(100, mesh)
+    assert lo == 0 and hi == 100  # single process owns everything
