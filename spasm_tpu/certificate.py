@@ -36,7 +36,6 @@ import scipy.sparse as sp
 
 from .csr import SparseGFp
 from .echelonize import LU, echelonize
-from .field import Field, field
 from .io import matrix_hash
 
 
@@ -103,7 +102,7 @@ def certificate_rank_create(A: SparseGFp, hash_: bytes | None = None,
                             fact: LU | None = None) -> RankCertificate:
     """``spasm_certificate_rank_create`` (src/SpaSM.jl:928)."""
     from .solve import _solve_zLp
-    from .elimination import compute_levels, wave_eliminate
+    from .elimination import wave_eliminate
 
     f = A.field
     if hash_ is None:

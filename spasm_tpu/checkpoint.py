@@ -11,7 +11,6 @@ Format: one .npz per state (atomic rename), schema-versioned.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import tempfile
 

@@ -472,18 +472,18 @@ def _low_rank_mode(opts, rank_so_far, rows_processed, n_s):
 
 def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
                          opts):
-    """Device-resident block loop: fixed (bs_b, na_b) shapes throughout;
-    the accumulated RREF Ud lives on device in 1024-row capacity steps."""
-    import jax
+    """Device-resident block loop: ONE fused jitted step per block
+    (dense_ops.blocked_finish_step), U capacity preallocated to the rank
+    upper bound so every block reuses the same compiled program."""
     import jax.numpy as jnp
-
-    from .ops import modmul
-    from .ops.matmul import modmatmul
 
     bs_b = dense_ops._bucket(bs)
     na_b = dense_ops._bucket(na)
-    cap = 1024
+    # rank can never exceed min(rows, cols); preallocate once
+    cap = dense_ops._bucket(min(n_s, na)) + bs_b
     Ud = jnp.zeros((cap, na_b), jnp.int32)
+    pc_map = jnp.zeros(cap, jnp.int32)
+    r_d_dev = jnp.int32(0)
     piv_cols_loc: list[int] = []
     piv_rows_glob: list[int] = []
     dry_blocks = 0
@@ -491,42 +491,16 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
     while b0 < n_s:
         b1 = min(n_s, b0 + bs)
         ri, ci, vi = _block_slice(rows_all, cols_all, vals_all, b0, b1)
-        Xd = dense_ops.densify_coo(
-            (bs_b, na_b), jnp.asarray(ri.astype(np.int32)),
-            jnp.asarray(ci.astype(np.int32)),
-            jnp.asarray(vi.astype(np.int32)))
-        r_d = len(piv_cols_loc)
-        if r_d:
-            pc = np.zeros(cap, np.int64)
-            pc[:r_d] = piv_cols_loc
-            coeff = Xd[:, jnp.asarray(pc)]  # bogus slots hit zero U rows
-            Xd = modmul.sub(f, Xd, modmatmul(f, coeff, Ud))
-        Rd, rank_d, prow_of, pcol_of, _, _ = dense_ops._rref_jit(
-            f, Xd, na_b, dense_ops.DEFAULT_PANEL, False)
+        Ud, pc_map, r_d_dev, rank_d, prow_of, pcol_of = (
+            dense_ops.blocked_finish_step(
+                f, (bs_b, na_b), dense_ops.DEFAULT_PANEL,
+                jnp.asarray(ri.astype(np.int32)),
+                jnp.asarray(ci.astype(np.int32)),
+                jnp.asarray(vi.astype(np.int32)), Ud, pc_map, r_d_dev))
         new_rank = int(rank_d)
         if new_rank:
             prow = np.asarray(prow_of)[:new_rank].astype(np.int64)
             pcol = np.asarray(pcol_of)[:new_rank].astype(np.int64)
-            pad_u = -(-new_rank // 256) * 256
-            gather = np.zeros(pad_u, np.int64)
-            gather[:new_rank] = prow
-            newU = Rd[jnp.asarray(gather), :]
-            newU = jnp.where(
-                (jnp.arange(pad_u) < new_rank)[:, None], newU, 0)
-            if r_d:
-                npc = np.zeros(pad_u, np.int64)
-                npc[:new_rank] = pcol
-                co = Ud[:, jnp.asarray(npc)]
-                co = jnp.where(
-                    (jnp.arange(pad_u) < new_rank)[None, :], co, 0)
-                Ud = modmul.sub(f, Ud, modmatmul(f, co, newU))
-            while r_d + pad_u > cap:
-                Ud = jnp.concatenate(
-                    [Ud, jnp.zeros((1024, na_b), jnp.int32)], axis=0)
-                cap += 1024
-            # rows beyond new_rank in newU are zero: writing the whole
-            # padded block only re-zeroes already-zero capacity rows
-            Ud = jax.lax.dynamic_update_slice(Ud, newU, (r_d, 0))
             piv_cols_loc.extend(pcol.tolist())
             piv_rows_glob.extend((b0 + prow).tolist())
             dry_blocks = 0

@@ -191,6 +191,51 @@ def count_nonzero_device(X) -> int:
     return int(jnp.count_nonzero(X))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(6, 7))
+def blocked_finish_step(f: Field, shape, panel: int,
+                        rows, cols, vals, Ud, pc_map, r_d):
+    """One fused device step of the blocked dense finish: densify the
+    block's COO slice, eliminate it against the accumulated mutual-RREF
+    panel Ud (rows beyond r_d are zero), run the Jordan RREF, back-
+    eliminate Ud against the new pivots and append them.
+
+    shape = (bs, na) static block shape; Ud (cap, na) with static
+    capacity cap >= r_d + bs always (preallocated by the caller).
+    pc_map (cap,) holds each pivot slot's column (0 for empty slots).
+    Returns (Ud', pc_map', r_d', new_rank, prow_of, pcol_of).
+    One jitted call per block — device round trips stay O(1) per block.
+    """
+    bs, na = shape
+    cap = Ud.shape[0]
+    from . import modmul
+    from .matmul import modmatmul
+
+    X = jnp.zeros((bs, na), jnp.int32).at[rows, cols].set(vals)
+    coeff = X[:, pc_map]  # empty slots hit zero Ud rows
+    X = modmul.sub(f, X, modmatmul(f, coeff, Ud))
+    R, new_rank, prow_of, pcol_of, _ = rref_inplace(f, X, na, panel)
+    nmax = prow_of.shape[0]  # = min(bs, na)
+    if nmax < bs:
+        prow_of = jnp.pad(prow_of, (0, bs - nmax), constant_values=-1)
+        pcol_of = jnp.pad(pcol_of, (0, bs - nmax), constant_values=-1)
+    # gather the new pivot rows, padded to the block height
+    slot = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0)[:, 0]
+    live = slot < new_rank
+    gather = jnp.where(live, jnp.clip(prow_of[:bs], 0, bs - 1), 0)
+    newU = jnp.where(live[:, None], R[gather, :], 0)
+    npc = jnp.where(live, jnp.clip(pcol_of[:bs], 0, na - 1), 0)
+    # back-eliminate so the accumulated panel stays in full mutual RREF
+    co = jnp.where(live[None, :], Ud[:, npc], 0)
+    Ud = modmul.sub(f, Ud, modmatmul(f, co, newU))
+    # append (rows beyond new_rank in newU are zero; capacity rows past
+    # r_d + new_rank are zero either way)
+    Ud = jax.lax.dynamic_update_slice(Ud, newU, (r_d, 0))
+    pc_new = jnp.where(live, npc, 0)
+    pc_map = jax.lax.dynamic_update_slice(pc_map, pc_new, (r_d,))
+    return Ud, pc_map, r_d + new_rank, new_rank, prow_of, pcol_of
+
+
 def _bucket(x: int) -> int:
     """Bucket device shapes so the jitted kernel compiles once per bucket:
     powers of two up to 1024, then multiples of 1024 (the n*m^2 elimination

@@ -14,8 +14,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from ..field import Field
 from . import modmul
 

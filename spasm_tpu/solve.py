@@ -212,7 +212,9 @@ def _solve_zLp(fact: LU, Y):
         _spgemm_dense_rhs(f, Y_d, dinv)), f)
     if ds:
         C_blk = Lp[ds:, :ds]
-        rhs = mod_reduce(Y_s - safe_spgemm_local(f, Z_d, C_blk), f)
+        from .sputil import safe_spgemm
+
+        rhs = mod_reduce(Y_s - safe_spgemm(f, Z_d, C_blk), f)
         Z_s = _solve_triangular_Lp(f, Lp[:ds, :ds], rhs)
     else:
         Z_s = sp.csr_matrix((Y.shape[0], 0), dtype=np.int64)
@@ -234,10 +236,6 @@ def _spgemm_dense_rhs(f: Field, A_sp, B_dense):
         acc = f.normalize(acc + f.normalize(A_sp[:, c0:c1] @ B_dense[c0:c1]))
     return sp.csr_matrix(acc)
 
-
-def safe_spgemm_local(f: Field, a, b):
-    from .sputil import safe_spgemm
-    return safe_spgemm(f, a, b)
 
 
 def solve(fact: LU, b):

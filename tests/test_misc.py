@@ -92,6 +92,24 @@ def test_tall_and_skinny_with_L(rng):
     assert fact.L @ fact.U == A
 
 
+def test_device_blocked_finish(rng, monkeypatch):
+    """Force the device-resident fused block loop (normally engaged only
+    for large matrices) on the CPU backend and compare against host."""
+    from spasm_tpu.ops import dense as D
+    from spasm_tpu import echelonize
+    from spasm_tpu.solve import rref_of_U
+
+    A = SparseGFp.rand(F, 90, 70, 0.08, rng)
+    f_host = echelonize(A, max_round=0)
+    monkeypatch.setattr(D, "HOST_CUTOFF", 1)
+    f_dev = echelonize(A, max_round=0, dense_block_size=32)
+    assert f_dev.r == f_host.r
+    assert rref_of_U(f_dev) == rref_of_U(f_host)
+    # with L factor
+    f_devL = echelonize(A, max_round=0, dense_block_size=32, L=True)
+    assert f_devL.L @ f_devL.U == A
+
+
 def test_schur_density_estimate(rng):
     import scipy.sparse as sp
 
