@@ -487,6 +487,28 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
     piv_cols_loc: list[int] = []
     piv_rows_glob: list[int] = []
     dry_blocks = 0
+    # small device->host syncs are latency-bound (seconds over tunneled
+    # links): pipeline with one block of lag, reading block k-1's pivot
+    # metadata while block k computes
+    pending = None  # (b0, rank_d, prow_of, pcol_of)
+
+    def _drain(pending):
+        nonlocal dry_blocks
+        if pending is None:
+            return False
+        pb0, rank_d, prow_of, pcol_of = pending
+        new_rank = int(rank_d)
+        if new_rank:
+            prow = np.asarray(prow_of)[:new_rank].astype(np.int64)
+            pcol = np.asarray(pcol_of)[:new_rank].astype(np.int64)
+            piv_cols_loc.extend(pcol.tolist())
+            piv_rows_glob.extend((pb0 + prow).tolist())
+            dry_blocks = 0
+        else:
+            dry_blocks += 1
+        return new_rank == 0
+
+    low_rank_possible = opts.enable_tall_and_skinny and not opts.L
     b0 = 0
     while b0 < n_s:
         b1 = min(n_s, b0 + bs)
@@ -497,18 +519,18 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
                 jnp.asarray(ri.astype(np.int32)),
                 jnp.asarray(ci.astype(np.int32)),
                 jnp.asarray(vi.astype(np.int32)), Ud, pc_map, r_d_dev))
-        new_rank = int(rank_d)
-        if new_rank:
-            prow = np.asarray(prow_of)[:new_rank].astype(np.int64)
-            pcol = np.asarray(pcol_of)[:new_rank].astype(np.int64)
-            piv_cols_loc.extend(pcol.tolist())
-            piv_rows_glob.extend((b0 + prow).tolist())
-            dry_blocks = 0
-        else:
-            dry_blocks += 1
+        for arr in (rank_d, prow_of, pcol_of):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - non-jax backends
+                pass
+        _drain(pending)
+        pending = (b0, rank_d, prow_of, pcol_of)
         b0 = b1
-        if (_low_rank_mode(opts, len(piv_cols_loc), b0, n_s)
-                and dry_blocks >= 1 and not opts.L and piv_cols_loc):
+        if (low_rank_possible and dry_blocks >= 1 and piv_cols_loc
+                and _low_rank_mode(opts, len(piv_cols_loc), b0, n_s)):
+            _drain(pending)
+            pending = None
             nnz_d = dense_ops.count_nonzero_device(Ud)
             ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
             er, ec, ev = (np.asarray(x)
@@ -522,6 +544,7 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
                 log(f"[echelonize/dense] randomized check: remaining "
                     f"{n_s - b0} rows dependent; skipping")
                 break
+    _drain(pending)
     r_d = len(piv_cols_loc)
     if r_d == 0:
         return None
