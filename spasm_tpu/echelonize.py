@@ -35,7 +35,7 @@ from .field import Field
 from .ops import dense as dense_ops
 from .pivots import find_structural_pivots
 from .sputil import mod_reduce
-from .utils.logging import log, push_verbose, wtime
+from .utils.logging import is_verbose, log, push_verbose, wtime
 
 
 @dataclasses.dataclass
@@ -197,9 +197,11 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         rest_rows = np.flatnonzero(rest_mask)
         t0 = wtime()
         S_rest = S[rest_rows]
-        est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
-        log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
-            f"estimated density : {est:.2f}")
+        if is_verbose():  # the estimate is logging-only: skip when silent
+            est = schur_estimate_density(f, Upart, pcols, levels_blk,
+                                         S_rest)
+            log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
+                f"estimated density : {est:.2f}")
         S_new, C = wave_eliminate(f, Upart, pcols, levels_blk, S_rest,
                                   record_coeffs=opts.L)
         dens = S_new.nnz / max(1, S_new.shape[0] * S_new.shape[1])
@@ -508,7 +510,13 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
             dry_blocks += 1
         return new_rank == 0
 
-    low_rank_possible = opts.enable_tall_and_skinny and not opts.L
+    # low-rank mode == tall-and-skinny mode in the reference; only there
+    # does the loop need per-block rank readbacks (to detect a dry tail).
+    # Otherwise ALL metadata reads are deferred past the loop, so the
+    # device pipeline runs sync-free.
+    low_rank_possible = (opts.enable_tall_and_skinny and not opts.L
+                         and n_s > opts.tall_and_skinny_ratio * na)
+    deferred = []
     b0 = 0
     while b0 < n_s:
         b1 = min(n_s, b0 + bs)
@@ -524,10 +532,14 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
                 arr.copy_to_host_async()
             except AttributeError:  # pragma: no cover - non-jax backends
                 pass
+        if not low_rank_possible:
+            deferred.append((b0, rank_d, prow_of, pcol_of))
+            b0 = b1
+            continue
         _drain(pending)
         pending = (b0, rank_d, prow_of, pcol_of)
         b0 = b1
-        if (low_rank_possible and dry_blocks >= 1 and piv_cols_loc
+        if (dry_blocks >= 1 and piv_cols_loc
                 and _low_rank_mode(opts, len(piv_cols_loc), b0, n_s)):
             _drain(pending)
             pending = None
@@ -545,6 +557,8 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
                     f"{n_s - b0} rows dependent; skipping")
                 break
     _drain(pending)
+    for item in deferred:
+        _drain(item)
     r_d = len(piv_cols_loc)
     if r_d == 0:
         return None

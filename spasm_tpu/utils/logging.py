@@ -47,6 +47,10 @@ class push_verbose:
         return False
 
 
+def is_verbose() -> bool:
+    return _enabled
+
+
 def log(msg: str):
     if not _enabled:
         return
