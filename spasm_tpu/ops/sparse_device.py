@@ -121,8 +121,11 @@ def wave_eliminate_device(f: Field, cap: int, cap_hits: int, depth: int,
         vals = jnp.where(kok, sums[ki], 0)
         return rows, cols, vals, overflow
 
+    # derive the initial overflow flag from the inputs so its sharding
+    # axes match the loop body's output under shard_map
+    overflow0 = jnp.any(s_rows < -1)  # always False, input-derived
     rows, cols, vals, overflow = jax.lax.fori_loop(
-        0, depth, one_wave, (s_rows, s_cols, s_vals, jnp.bool_(False)))
+        0, depth, one_wave, (s_rows, s_cols, s_vals, overflow0))
     nnz = (rows < sentinel).sum()
     return rows, cols, vals, nnz, overflow
 

@@ -1,0 +1,71 @@
+"""Row-sharded sparse Schur over the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+
+from spasm_tpu import SparseGFp, field
+from spasm_tpu.elimination import compute_levels, wave_eliminate
+from spasm_tpu.parallel.sharded import make_mesh
+from spasm_tpu.parallel.sparse_sharded import sharded_sparse_eliminate
+from spasm_tpu.pivots import find_structural_pivots
+
+F = field(42013)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+def make_case(rng, n=64, m=70, density=0.08):
+    A = SparseGFp.rand(F, n, m, density, rng)
+    prows, pcols, _ = find_structural_pivots(A)
+    npiv = prows.size
+    S = A.to_scipy()
+    Up = sp.csr_matrix(S[prows])
+    vals = np.asarray(Up[np.arange(npiv), pcols]).ravel()
+    scales = F.inv(vals)
+    row_of = np.repeat(np.arange(npiv), np.diff(Up.indptr))
+    Up.data = F.normalize(Up.data * scales[row_of])
+    U = SparseGFp.from_scipy(Up, F.p)
+    levels = compute_levels(U, pcols)
+    rest = np.setdiff1d(np.arange(n), prows)
+    B = SparseGFp.from_scipy(sp.csr_matrix(S[rest]), F.p)
+    return U, pcols, levels, B
+
+
+def test_sharded_matches_host(mesh, rng):
+    U, pcols, levels, B = make_case(rng)
+    got = sharded_sparse_eliminate(F, mesh, U, pcols, levels, B)
+    assert got is not None
+    want_sp, _ = wave_eliminate(F, U.to_scipy(), pcols, levels,
+                                B.to_scipy())
+    assert got == SparseGFp.from_scipy(want_sp, F.p)
+    assert not np.isin(got.indices, pcols).any()
+
+
+def test_sharded_shard_count_invariant(rng):
+    U, pcols, levels, B = make_case(rng, 48, 50, 0.1)
+    results = []
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(nd)
+        out = sharded_sparse_eliminate(F, mesh, U, pcols, levels, B)
+        assert out is not None
+        results.append(out)
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_sharded_overflow(mesh, rng):
+    U, pcols, levels, B = make_case(rng, 64, 64, 0.2)
+    got = sharded_sparse_eliminate(F, mesh, U, pcols, levels, B,
+                                   cap_factor=0)
+    # tiny capacity either overflows (None) or still succeeds on sparse
+    # shards; both acceptable — None must be reported rather than wrong data
+    if got is not None:
+        want_sp, _ = wave_eliminate(F, U.to_scipy(), pcols, levels,
+                                    B.to_scipy())
+        assert got == SparseGFp.from_scipy(want_sp, F.p)
