@@ -23,6 +23,9 @@ def _common_flags(p):
     p.add_argument("--no-low-rank-mode", action="store_true")
     p.add_argument("--low-rank-start-weight", type=float, default=None)
     p.add_argument("--max-round", type=int, default=None)
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="row-shard over a mesh of this many devices "
+                        "(the OMP_NUM_THREADS analog)")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("input", nargs="?", default=None,
                    help="SMS file (default: stdin)")
@@ -50,13 +53,22 @@ def _load(args):
     return st.load_sms(src, p=args.modulus)
 
 
+def _mesh(args):
+    if getattr(args, "num_devices", None) is None:
+        return None
+    from spasm_tpu.parallel.sharded import make_mesh
+
+    return make_mesh(args.num_devices)
+
+
 def tool_rank(args):
     import spasm_tpu as st
 
     st.set_log(True)
     A = _load(args)
-    r = st.rank(A, verbose=True, **_ech_opts(args))
-    print(f"rank = {r}", file=sys.stderr)
+    fact = st.echelonize(A, verbose=True, mesh=_mesh(args),
+                         **_ech_opts(args))
+    print(f"rank = {fact.r}", file=sys.stderr)
     return 0
 
 

@@ -60,6 +60,10 @@ class EchelonizeOptions:
 
     # TPU-specific knob: max dense elements for the device finish
     dense_budget: int = 200_000_000
+    # TPU-specific: run the round Schur updates with the device-resident
+    # sparse waves (ops/sparse_device) above this nnz; 0 disables.
+    # Requires opts.L == False (coefficient recording stays on host).
+    device_sparse_min_nnz: int = 0
 
 
 def parse_echelonize_opts(opts=None, **kwargs) -> EchelonizeOptions:
@@ -106,23 +110,26 @@ class LU:
 
 def echelonize(A: SparseGFp, opts: EchelonizeOptions | None = None,
                verbose=False, checkpoint: str | None = None,
-               resume: str | None = None, **kwargs) -> LU:
+               resume: str | None = None, mesh=None, **kwargs) -> LU:
     """Echelonize A (src/SpaSM.jl:860-866).  `verbose` may be a bool or an
     nnz threshold (reference semantics: verbose = nnz(A) >= threshold).
 
     checkpoint: path to persist round-granular state after every round
     (checkpoint.py); resume: path of a previous checkpoint to continue
-    from (the same A must be passed)."""
+    from (the same A must be passed).  mesh: a jax.sharding.Mesh — round
+    Schur updates then run row-sharded on device
+    (parallel/sparse_sharded), falling back to host waves on capacity
+    overflow."""
     opts = parse_echelonize_opts(opts, **kwargs)
     if not isinstance(verbose, bool):
         verbose = A.nnz >= verbose
     with push_verbose(verbose):
-        return _echelonize_impl(A, opts, checkpoint, resume)
+        return _echelonize_impl(A, opts, checkpoint, resume, mesh)
 
 
 def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                      checkpoint: str | None = None,
-                     resume: str | None = None) -> LU:
+                     resume: str | None = None, mesh=None) -> LU:
     f = A.field
     n, m = A.shape
     t_start = wtime()
@@ -202,8 +209,20 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                                          S_rest)
             log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
                 f"estimated density : {est:.2f}")
-        S_new, C = wave_eliminate(f, Upart, pcols, levels_blk, S_rest,
-                                  record_coeffs=opts.L)
+        S_new = C = None
+        use_device_sparse = (
+            not opts.L
+            and ((mesh is not None)
+                 or (opts.device_sparse_min_nnz
+                     and S_rest.nnz >= opts.device_sparse_min_nnz)))
+        if use_device_sparse:
+            S_new = _device_sparse_schur(f, mesh, Ublock_w, pcols,
+                                         levels_blk, S_rest)
+            if S_new is not None:
+                S_new = S_new.to_scipy()
+        if S_new is None:  # host waves (also the overflow fallback)
+            S_new, C = wave_eliminate(f, Upart, pcols, levels_blk, S_rest,
+                                      record_coeffs=opts.L)
         dens = S_new.nnz / max(1, S_new.shape[0] * S_new.shape[1])
         log(f"Schur complement: {S_new.shape[0]} * {S_new.shape[1]} "
             f"[{S_new.nnz} nz / density= {dens:.3f}], "
@@ -329,6 +348,19 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     log(f"[echelonize] Done in {wtime() - t_start:.1f}s. Rank {r}, "
         f"{U.nnz} nz in basis")
     return fact
+
+
+def _device_sparse_schur(f: Field, mesh, U, pcols, levels, S_rest_sp):
+    """Round Schur update on device: sharded over a mesh when given, else
+    single-device sparse waves.  Returns SparseGFp or None on overflow."""
+    S_rest = SparseGFp.from_scipy(S_rest_sp, f.p)
+    if mesh is not None:
+        from .parallel.sparse_sharded import sharded_sparse_eliminate
+
+        return sharded_sparse_eliminate(f, mesh, U, pcols, levels, S_rest)
+    from .ops.sparse_device import eliminate_device
+
+    return eliminate_device(f, U, pcols, levels, S_rest)
 
 
 def schur_estimate_density(f: Field, U_sp, piv_cols, levels, S_rest,

@@ -69,3 +69,25 @@ def test_sharded_overflow(mesh, rng):
         want_sp, _ = wave_eliminate(F, U.to_scipy(), pcols, levels,
                                     B.to_scipy())
         assert got == SparseGFp.from_scipy(want_sp, F.p)
+
+
+def test_echelonize_with_mesh(mesh, rng):
+    from spasm_tpu import echelonize
+    from spasm_tpu.solve import rref_of_U
+
+    A = SparseGFp.rand(F, 64, 64, 0.05, rng)
+    f_mesh = echelonize(A, mesh=mesh)
+    f_host = echelonize(A)
+    assert f_mesh.r == f_host.r
+    assert rref_of_U(f_mesh) == rref_of_U(f_host)
+
+
+def test_echelonize_device_sparse_rounds(rng):
+    from spasm_tpu import echelonize
+    from spasm_tpu.solve import rref_of_U
+
+    A = SparseGFp.rand(F, 70, 80, 0.06, rng)
+    f_dev = echelonize(A, device_sparse_min_nnz=1)
+    f_host = echelonize(A)
+    assert f_dev.r == f_host.r
+    assert rref_of_U(f_dev) == rref_of_U(f_host)
