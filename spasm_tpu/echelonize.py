@@ -328,22 +328,27 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
               p=p_vec, piv_cols=piv_cols, L=L, levels=levels,
               dense_piv_start=dense_piv_start)
     if opts.complete:
-        from .solve import rref_of_U  # cycle-free local import
-        # rref_of_U orders rows by pivot column; realign pivot metadata.
-        # Against an RREF, any row's elimination coefficients are simply its
-        # values at the pivot columns, so L is a column selection of A.
-        order = np.argsort(piv_cols, kind="stable")
-        qinv_c = np.full(m, -1, np.int64)
-        qinv_c[piv_cols[order]] = np.arange(r)
+        from .solve import rref_of_U, rref_qinv_of  # cycle-free import
+
+        # the canonical RREF's pivot columns are its rows' leading columns
+        # (they can differ from the factorization's pivot choices); against
+        # an RREF any row's elimination coefficients are its values at the
+        # pivot columns, so L becomes a column selection of A.
+        R = rref_of_U(fact)
+        qinv_c = rref_qinv_of(R)
+        piv_cols_c = np.flatnonzero(qinv_c >= 0)[
+            np.argsort(qinv_c[qinv_c >= 0], kind="stable")]
         L_c = None
         if opts.L:
             sel = np.full(m, -1, np.int64)
-            sel[piv_cols[order]] = np.arange(r)
+            sel[piv_cols_c] = np.arange(r)
             L_c = A.select_cols(sel, r)
+        # provenance: RREF rows are combinations, keep the original pivot
+        # rows sorted by their columns as representatives
+        order = np.argsort(piv_cols, kind="stable")
         fact = dataclasses.replace(
-            fact, U=rref_of_U(fact), complete=True, qinv=qinv_c,
-            piv_cols=piv_cols[order], p=p_vec[order],
-            levels=np.zeros(r, np.int64), L=L_c,
+            fact, U=R, complete=True, qinv=qinv_c, piv_cols=piv_cols_c,
+            p=p_vec[order], levels=np.zeros(r, np.int64), L=L_c,
             dense_piv_start=0 if opts.L else None)  # L_c is not triangular
     log(f"[echelonize] Done in {wtime() - t_start:.1f}s. Rank {r}, "
         f"{U.nnz} nz in basis")

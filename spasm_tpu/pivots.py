@@ -123,33 +123,69 @@ def fl_col_pivots(A: SparseGFp, col_selected, row_used):
     return rows_c.astype(np.int64), cols_c.astype(np.int64)
 
 
-def greedy_pivots(A: SparseGFp, col_selected, row_used, max_passes=2):
-    """Greedy cycle-free completion under the append invariant.
+def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
+                  piv_pos_of_col, col_touch_max, max_passes=2):
+    """Greedy cycle-free completion by fractional-position insertion.
 
-    col_selected / row_used are boolean masks (modified in place).
-    Returns (rows, cols) in insertion order.
+    The selected pivots carry real-valued *positions* whose sorted order is
+    a valid elimination order (a linear extension of the pivot DAG).  A
+    candidate (i, j) — row i unused, column j unselected, A[i,j] != 0 —
+    can be inserted at position q iff
+
+        P1 = max{ pos(k) : selected k whose ROW touches column j } < q
+        P2 = min{ pos(l) : selected l whose COLUMN is in row i's support }
+        and P1 < q < P2,
+
+    because then every new DAG edge (k -> new for u_k[j] != 0, new -> l
+    for support(i) hitting c_l) is consistent with the existing order,
+    which itself is unchanged — so the extended order stays acyclic.
+    This strictly subsumes the append rule (append = require P2 = +inf).
+
+    col_touch_max[c] tracks max pos of selected pivots whose row support
+    includes c; piv_pos_of_col[c] the position of the pivot on column c
+    (+inf if none).  All four state arrays are updated in place.
+    Returns (rows, cols, pos) of the newly selected pivots.
     """
     lengths = A.row_lengths()
     col_counts = np.zeros(A.m, np.int64)
     np.add.at(col_counts, A.indices, 1)
-    sel_r, sel_c = [], []
+    sel_r, sel_c, sel_p = [], [], []
     for _ in range(max_passes):
         added = 0
         cand = np.flatnonzero((~row_used) & (lengths > 0))
         cand = cand[np.argsort(lengths[cand], kind="stable")]
         for i in cand:
             ji, _ = A.row(i)
-            if col_selected[ji].any():
+            free = ji[~col_selected[ji]]
+            if free.size == 0:
                 continue
-            j = ji[np.argmin(col_counts[ji])]
+            p2 = piv_pos_of_col[ji].min()  # +inf when no selected col hit
+            # choose the sparsest insertable free column
+            p1s = col_touch_max[free]
+            ok = p1s < p2
+            if not ok.any():
+                continue
+            cand_cols = free[ok]
+            j = cand_cols[np.argmin(col_counts[cand_cols])]
+            p1 = col_touch_max[j]
+            lo = p1 if np.isfinite(p1) else (p2 - 2.0 if np.isfinite(p2)
+                                             else 0.0)
+            hi = p2 if np.isfinite(p2) else lo + 2.0
+            q = 0.5 * (lo + hi)
+            if not (p1 < q < p2):
+                continue  # float underflow in a crowded gap: skip
             col_selected[j] = True
             row_used[i] = True
+            piv_pos_of_col[j] = q
+            np.maximum.at(col_touch_max, ji, q)
             sel_r.append(i)
             sel_c.append(j)
+            sel_p.append(q)
             added += 1
         if added == 0:
             break
-    return (np.array(sel_r, np.int64), np.array(sel_c, np.int64))
+    return (np.array(sel_r, np.int64), np.array(sel_c, np.int64),
+            np.array(sel_p, np.float64))
 
 
 def find_structural_pivots(A: SparseGFp, enable_greedy=True):
@@ -168,12 +204,26 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True):
     col_selected[fl_c] = True
     row_used[fl_r] = True
     c_r, c_c = fl_col_pivots(A, col_selected, row_used)
+
+    rows = np.concatenate([fl_r, c_r])
+    cols = np.concatenate([fl_c, c_c])
+    pos = np.arange(rows.size, dtype=np.float64)
     if enable_greedy:
-        g_r, g_c = greedy_pivots(A, col_selected, row_used)
+        # position state for fractional-insertion greedy (see greedy_pivots)
+        piv_pos_of_col = np.full(m, np.inf)
+        piv_pos_of_col[cols] = pos
+        col_touch_max = np.full(m, -np.inf)
+        for q, i in zip(pos, rows):
+            np.maximum.at(col_touch_max, A.row(int(i))[0], q)
+        g_r, g_c, g_p = greedy_pivots(A, col_selected, row_used, pos,
+                                      piv_pos_of_col, col_touch_max)
+        rows = np.concatenate([rows, g_r])
+        cols = np.concatenate([cols, g_c])
+        pos = np.concatenate([pos, g_p])
+        order = np.argsort(pos, kind="stable")
+        rows, cols = rows[order], cols[order]
     else:
-        g_r = g_c = np.zeros(0, np.int64)
-    rows = np.concatenate([fl_r, c_r, g_r])
-    cols = np.concatenate([fl_c, c_c, g_c])
+        g_r = np.zeros(0, np.int64)
     return rows, cols, {"faugere-lachartre": fl_r.size,
                         "faugere-lachartre-cols": c_r.size,
                         "greedy": g_r.size}

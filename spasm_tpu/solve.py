@@ -20,19 +20,47 @@ from .utils.logging import log, push_verbose, wtime
 
 
 def rref_of_U(fact: LU) -> SparseGFp:
-    """Reduced row echelon form of the factorization's U (r x m, unit
-    pivots, zero elsewhere in pivot columns) — ``spasm_rref``
-    (src/SpaSM.jl:869-871).  The RREF of a matrix is unique, so this is a
-    canonical object independent of pivot choices."""
+    """Canonical reduced row echelon form of the factorization's row space
+    — ``spasm_rref`` (src/SpaSM.jl:869-871).
+
+    The RREF of a row space is unique, but a factorization's pivot columns
+    need not be the canonical (leftmost) ones; reducing against them would
+    give a non-canonical reduced form.  We therefore (1) auto-reduce the
+    basis until every row has a distinct leading column — those ARE the
+    canonical pivot columns — then (2) Jordan-reduce against them with the
+    wave machinery (rows sorted by leading column satisfy the append
+    invariant: every entry of a row lies at or right of its lead)."""
     f = fact.field
-    U = fact.U.to_scipy()
     r = fact.r
     if r == 0:
         return SparseGFp.zeros(f, 0, fact.m)
-    piv_cols = fact.piv_cols
-    levels = fact.levels
-    B = mod_reduce(U.copy(), f)
-    depth = int(levels.max()) + 1 if r else 0
+    from .sputil import safe_spgemm
+
+    B = mod_reduce(fact.U.to_scipy(), f)
+    # (1) distinct leading columns (rows are independent: none vanish)
+    while True:
+        leads = B.indices[B.indptr[:-1]].astype(np.int64)
+        order = np.argsort(leads, kind="stable")
+        B = sp.csr_matrix(B)[order]
+        leads = leads[order]
+        dup = np.flatnonzero(leads[1:] == leads[:-1]) + 1
+        if dup.size == 0:
+            break
+        # eliminate each duplicate-lead row with the first row of its run
+        first_of = np.arange(r)
+        for i in dup:  # runs are short; assign first of each run
+            first_of[i] = first_of[i - 1]
+        lead_val = np.asarray(
+            B[np.arange(r), leads]).ravel().astype(np.int64)
+        coef = f.mul(lead_val[dup], f.inv(lead_val[first_of[dup]]))
+        C = sp.csr_matrix((coef, (dup, first_of[dup])), shape=(r, r))
+        B = mod_reduce(B - safe_spgemm(f, C, B), f)
+    piv_cols = leads
+    # (2) Jordan against the canonical pivots, with self-skip
+    Bw = SparseGFp.from_scipy(B, f.p)
+    levels = compute_levels(Bw, piv_cols)
+    U0 = sp.csr_matrix(B)  # elimination sources: the pre-pass basis
+    depth = int(levels.max()) + 1
     for t in range(depth):
         kt = np.flatnonzero(levels == t)
         if kt.size == 0:
@@ -42,31 +70,37 @@ def rref_of_U(fact: LU) -> SparseGFp:
         Ct = sp.csr_matrix((Ct.data[keep], (Ct.row[keep], Ct.col[keep])),
                            shape=(r, kt.size))
         if Ct.nnz:
-            from .sputil import safe_spgemm
-            B = mod_reduce(B - safe_spgemm(f, Ct, U[kt]), f)
-    # rescale rows so pivots are exactly 1 (a row's pivot value may have
-    # changed while other pivots were eliminated from it)
-    diag = np.asarray(B[np.arange(r), piv_cols]).ravel().astype(np.int64)
+            scale = f.inv(np.asarray(
+                U0[kt, piv_cols[kt]]).ravel().astype(np.int64))
+            Ctc = Ct.tocoo()
+            Ct = sp.csr_matrix(
+                (f.mul(Ctc.data, scale[Ctc.col]), (Ctc.row, Ctc.col)),
+                shape=Ct.shape)
+            B = mod_reduce(B - safe_spgemm(f, Ct, U0[kt]), f)
+    # rescale rows so pivots are exactly 1
+    diag = np.asarray(
+        B[np.arange(r), piv_cols]).ravel().astype(np.int64)
     scales = f.inv(diag)
     row_of = np.repeat(np.arange(r), np.diff(B.indptr))
     B.data = f.normalize(B.data * scales[row_of])
-    # canonical form: rows ordered by pivot column (RREF is unique)
-    B = sp.csr_matrix(B)[np.argsort(piv_cols, kind="stable")]
     return SparseGFp.from_scipy(B, f.p)
 
 
-def rref_qinv(fact: LU):
-    """qinv matching rref_of_U's canonical row order: qinv[j] = k if column
-    j holds the k-th pivot column in increasing order, else -1."""
-    qinv = np.full(fact.m, -1, np.int64)
-    qinv[np.sort(fact.piv_cols)] = np.arange(fact.r)
+def rref_qinv_of(R: SparseGFp):
+    """qinv of a canonical RREF: its pivot columns are the rows' leading
+    columns (which may differ from a factorization's pivot choices)."""
+    qinv = np.full(R.m, -1, np.int64)
+    if R.n:
+        leads = R.indices[R.indptr[:-1]].astype(np.int64)
+        qinv[leads] = np.arange(R.n)
     return qinv
 
 
 def rref(fact: LU):
     """(R, Rqinv): canonical RREF of the row space + its qinv
     (``spasm_rref``, src/SpaSM.jl:869-871)."""
-    return rref_of_U(fact), rref_qinv(fact)
+    R = rref_of_U(fact)
+    return R, rref_qinv_of(R)
 
 
 def kernel_from_rref(R: SparseGFp, qinv) -> SparseGFp:
@@ -110,7 +144,7 @@ def kernel(obj, verbose=False, **kwargs) -> SparseGFp:
         log(f"[kernel] start. U is {fact.U.shape[0]} x {fact.U.shape[1]} "
             f"({fact.U.nnz} nnz)")
         R = rref_of_U(fact)
-        K = kernel_from_rref(R, rref_qinv(fact))
+        K = kernel_from_rref(R, rref_qinv_of(R))
         log(f"[kernel] done in {wtime() - t0:.1f}s. NNZ(K) = {K.nnz}")
     return K
 
@@ -185,7 +219,11 @@ def _dense_block_inverse(fact: LU):
     D = fact.L.select_rows(fact.p[ds:]).to_scipy()[:, ds:].toarray()
     out = dense_ops.rref(f, D, want_transform=True)
     assert out["rank"] == D.shape[0], "dense L block must be invertible"
-    dinv = out["T"]  # T @ D == I
+    # T @ D == R where R is the scattered permuted identity with
+    # R[piv_rows[k], piv_cols[k]] == 1; hence row piv_cols[k] of D^-1 is
+    # row piv_rows[k] of T
+    dinv = np.empty_like(out["T"])
+    dinv[out["piv_cols"]] = out["T"][out["piv_rows"]]
     fact._dinv_cache = dinv
     return dinv
 

@@ -261,3 +261,34 @@ def test_large_prime_end_to_end(rng):
     assert fact.r == dense_rank_oracle(p, A.to_dense())
     k = kernel(fact)
     assert (A @ k.T).nnz == 0
+
+
+def test_complete_with_L_solve(rng):
+    # complete facts use canonical RREF pivots (may differ from the
+    # factorization's); L, solve and gesv must stay consistent
+    A = SparseGFp.rand(F, 25, 30, 0.15, rng)
+    fc = echelonize(A, complete=True, L=True)
+    assert fc.L @ fc.U == A
+    x0 = F.rand(25, rng)
+    b = A.xapy(x0)
+    x = solve(fc, b)
+    assert x is not None and np.array_equal(A.xapy(x), b)
+    X0 = SparseGFp.rand(F, 3, 25, 0.5, rng)
+    B = X0 @ A
+    X, ok = gesv(fc, B)
+    assert ok.all() and X @ A == B
+
+
+def test_rref_canonical_under_any_pivots(rng):
+    # the canonical RREF must not depend on which pivot set the
+    # factorization happened to choose (non-leftmost pivots included)
+    from spasm_tpu.solve import rref_of_U
+
+    for seed in range(3):
+        r2 = np.random.default_rng(seed)
+        A = SparseGFp.rand(F, 24, 28, 0.12, r2)
+        facts = [echelonize(A), echelonize(A, max_round=0),
+                 echelonize(A, enable_greedy_pivot_search=False),
+                 echelonize(A, max_round=1, dense_block_size=8)]
+        rs = [rref_of_U(x) for x in facts]
+        assert all(x == rs[0] for x in rs[1:])
