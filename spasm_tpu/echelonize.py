@@ -204,11 +204,18 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         rest_rows = np.flatnonzero(rest_mask)
         t0 = wtime()
         S_rest = S[rest_rows]
-        if is_verbose():  # the estimate is logging-only: skip when silent
-            est = schur_estimate_density(f, Upart, pcols, levels_blk,
-                                         S_rest)
-            log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
-                f"estimated density : {est:.2f}")
+        # Monte-Carlo density estimate BEFORE paying for the full Schur:
+        # if the complement would densify past sparsity_threshold, skip
+        # this round and let the dense finish take the current S (the
+        # reference's est_density gate, src/SpaSM.jl:763)
+        est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
+        log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
+            f"estimated density : {est:.2f}")
+        if (round_idx > 0 and est >= opts.sparsity_threshold
+                and opts.enable_dense):
+            log("[echelonize] Schur complement too dense; "
+                "switching to dense finish")
+            break
         S_new = C = None
         use_device_sparse = (
             not opts.L

@@ -52,14 +52,14 @@ def compute_levels(U, piv_cols, require_order=True):
         raise ValueError("pivot list is not in elimination order")
     levels = np.zeros(r, np.int64)
     # longest-path by fixpoint: depth iterations, each fully vectorized
-    while True:
+    for _ in range(r + 1):
         cand = levels[src] + 1
         new = levels.copy()
         np.maximum.at(new, dst, cand)
         if np.array_equal(new, levels):
-            break
+            return levels
         levels = new
-    return levels
+    raise ValueError("pivot graph has a cycle")  # unreachable when ordered
 
 
 def topo_order(U, piv_cols):
