@@ -77,18 +77,25 @@ class SparseGFp:
         return cls.from_coo(f, dense.shape[0], dense.shape[1], i, j, dense[i, j])
 
     @classmethod
-    def from_scipy(cls, mat, p: int = DEFAULT_PRIME):
+    def from_scipy(cls, mat, p: int = DEFAULT_PRIME,
+                   assume_canonical: bool = False):
         """From a scipy sparse matrix (values mod-reduced; explicit zeros
         dropped) — the analog of ``CSR(::SparseMatrixCSC)``
         (src/SpaSM.jl:941-968) minus the transpose quirk: no transposition
-        happens here, row-major in == row-major out."""
+        happens here, row-major in == row-major out.
+
+        assume_canonical=True skips re-canonicalization (valid for
+        sputil.mod_reduce output: balanced values, sorted indices, no
+        explicit zeros) — the lexsort is the dominant cost at millions of
+        nnz."""
         import scipy.sparse as sp
 
         f = field(p)
         mat = sp.csr_matrix(mat)
         return cls(f, mat.shape[0], mat.shape[1], mat.indptr.astype(np.int64),
                    mat.indices.astype(np.int32),
-                   f.normalize(mat.data).astype(np.int32))
+                   f.normalize(mat.data).astype(np.int32),
+                   _canonical=assume_canonical)
 
     @classmethod
     def zeros(cls, f: Field, n, m):

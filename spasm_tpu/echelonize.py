@@ -166,7 +166,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         if S.shape[0] == 0 or S.nnz == 0:
             break
         log(f"[echelonize] round {round_idx}")
-        Sw = SparseGFp.from_scipy(S, f.p)
+        Sw = SparseGFp.from_scipy(S, f.p, assume_canonical=True)
         t0 = wtime()
         prows, pcols, counts = find_structural_pivots(
             Sw, enable_greedy=opts.enable_greedy_pivot_search)
@@ -197,7 +197,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         # Schur complement of the remaining rows vs the new pivot block.
         # New-block levels are self-contained: S rows already have zeros at
         # all earlier pivot columns, so cross-block edges cannot exist here.
-        Ublock_w = SparseGFp.from_scipy(Upart, f.p)
+        Ublock_w = SparseGFp.from_scipy(Upart, f.p, assume_canonical=True)
         levels_blk = compute_levels(Ublock_w, pcols)
         rest_mask = np.ones(S.shape[0], bool)
         rest_mask[prows] = False
@@ -669,7 +669,7 @@ def _gplu_finish(f: Field, S, row_origin, r0, opts, L_parts):
     piv_orig_all = []
     r_local = 0
     while S.shape[0] and S.nnz:
-        Sw = SparseGFp.from_scipy(S, f.p)
+        Sw = SparseGFp.from_scipy(S, f.p, assume_canonical=True)
         prows, pcols, _ = find_structural_pivots(Sw, enable_greedy=True)
         assert prows.size > 0, "FL must find a pivot in a nonzero matrix"
         npiv = prows.size
@@ -679,7 +679,8 @@ def _gplu_finish(f: Field, S, row_origin, r0, opts, L_parts):
         scales = f.inv(piv_vals)
         row_of = np.repeat(np.arange(npiv), np.diff(Upart.indptr))
         Upart.data = f.normalize(Upart.data * scales[row_of])
-        levels_blk = compute_levels(SparseGFp.from_scipy(Upart, f.p), pcols)
+        levels_blk = compute_levels(
+            SparseGFp.from_scipy(Upart, f.p, assume_canonical=True), pcols)
         rest_mask = np.ones(S.shape[0], bool)
         rest_mask[prows] = False
         rest_rows = np.flatnonzero(rest_mask)
