@@ -142,7 +142,13 @@ def tool_check_cert(args):
     src = args.input if args.input else sys.stdin.buffer
     A, h = st.load_sms(src, p=args.modulus, get_hash=True)
     proof = rank_certificate_load(args.cert)
-    ok = certificate_rank_verify(A, st.matrix_hash(A), proof)
+    # certificates are seeded from the SMS *stream* hash
+    # (load_sms(get_hash=True)); verify against that first, falling back to
+    # the canonical matrix hash for certificates created from an in-memory
+    # matrix (certificate_rank_create's default fingerprint)
+    ok = certificate_rank_verify(A, h, proof)
+    if not ok:
+        ok = certificate_rank_verify(A, st.matrix_hash(A), proof)
     print("certificate OK" if ok else "certificate INVALID",
           file=sys.stderr)
     return 0 if ok else 1

@@ -295,6 +295,13 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             if blk is not None:
                 dense_piv_start = r
         else:
+            if not opts.enable_GPLU:
+                # reference semantics allow disabling both finishes, but an
+                # unfinished tail would silently under-report the rank; GPLU
+                # is our mandatory fallback (announced, not silent)
+                log("[echelonize] enable_GPLU=False but the dense finish is "
+                    "unavailable (enable_dense/dense_budget); falling back "
+                    "to GPLU anyway")
             blk = _gplu_finish(f, S, row_origin, r, opts, L_parts)
         if blk is not None:
             Upart, pcols, porig = blk

@@ -75,6 +75,10 @@ class Field:
         x = np.asarray(x)
         if x.dtype.kind not in "iu" and x.dtype != object:
             raise TypeError(f"expected integer array, got {x.dtype}")
+        if x.dtype != object and x.dtype != np.uint64:
+            # upcast so np.mod with p > 2**31 - 1 cannot overflow the input
+            # dtype (int32 CSR data with large p raised OverflowError)
+            x = x.astype(np.int64, copy=False)
         r = np.mod(x, self.p)  # in [0, p)
         r = np.where(r > self.halfp, r - self.p, r)
         return r.astype(np.int64) if r.dtype != object else r
@@ -233,13 +237,19 @@ def datatype_choose(p: int) -> str:
     carrier for dense mod-p arithmetic — the number of balanced base-256
     int8 limbs per value:
 
-    * ``'i8l1'`` — p <= 257 (1 MXU pass per matmul)
-    * ``'i8l2'`` — p <= 65792 (4 passes; covers the default 42013)
-    * ``'i8l3'`` — p <= 2**24.0066 (9 passes)
-    * ``'i8l4'`` — p < 2**32 (16 passes)
+    * ``'i8l1'`` — p <= 255 (1 MXU pass per matmul)
+    * ``'i8l2'`` — p <= 65279 (4 passes; covers the default 42013)
+    * ``'i8l3'`` — p <= 16711423 (9 passes)
+    * ``'i8l4'`` — p <= 4278124287 (16 passes)
+    * ``'i8l5'`` — p <= 0xfffffffb (25 passes; only the top sliver of the
+      legal prime range needs the 5th limb)
+
+    Per-limb capacity: a balanced value v with |v| <= p//2 splits into
+    balanced base-256 limbs in [-128, 127] (see ops/modmul.to_limbs); nl
+    limbs cover |v| <= sum_{i<nl} 127 * 256**i.
     """
     half = p // 2
-    for nl in range(1, 5):
+    for nl in range(1, 6):
         if half <= _limb_capacity(nl):
             return f"i8l{nl}"
     raise ValueError(f"p too large: {p}")

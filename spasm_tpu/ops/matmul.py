@@ -3,21 +3,22 @@
 This is the TPU-native replacement for the reference's L1 dense layer
 (FFLAS-FFPACK driven through ``spasm_ffpack.cpp``, src/SpaSM.jl:802-812):
 where FFPACK uses float BLAS with delayed modular reduction, we use the
-MXU's native int8 x int8 -> int32 matmul with a balanced base-128 limb
-decomposition:
+MXU's native int8 x int8 -> int32 matmul with a balanced base-256 limb
+decomposition (modmul.to_limbs):
 
-    x = sum_i l_i 128**i,   l_i in [-64, 63]  (int8)
+    x = sum_i l_i 256**i,   l_i in [-128, 127]  (int8)
 
-    A @ B mod p = sum_{i,j} (A_i @ B_j) * 128**(i+j)   (mod p)
+    A @ B mod p = sum_{i,j} (A_i @ B_j) * 256**(i+j)   (mod p)
 
-Each limb-pair product A_i @ B_j accumulates exactly in int32 as long as
-``k_chunk * 64 * 64 * n_terms < 2**31``; we chunk the contraction dimension
-statically to guarantee this, reduce mod p per chunk, and combine diagonals
-with precomputed weights ``128**s mod p``.
+Each limb-pair diagonal D_s = sum_{i+j=s} A_i @ B_j accumulates exactly in
+int32 as long as ``k_chunk * 128 * 128 * nl <= 2**30`` (`_k_chunk`); we
+chunk the contraction dimension statically to guarantee this, reduce mod p
+per chunk, and combine diagonals with precomputed weights ``256**s mod p``.
 
 The number of limbs is chosen per prime (field.num_limbs — the analog of
-``spasm_datatype_choose``): 2 limbs for p <= 16510, 3 limbs for p <= 2**21,
-up to 5 limbs for p < 2**32 (device ops cap at p < 2**31, see modmul.py).
+``spasm_datatype_choose``): 1 limb for p <= 255, 2 for p <= 65279, 3 for
+p <= 16711423, 4 for p <= 4278124287, 5 to the top of the legal range
+(device elementwise ops cap at p < 2**31, see modmul.py).
 """
 
 from __future__ import annotations

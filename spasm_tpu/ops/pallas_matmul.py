@@ -31,10 +31,20 @@ from . import modmul
 BM, BN, BK = 512, 512, 1024
 
 
+# The epilogue's float-Barrett reduction (_mod_balanced_f32) sees |x| up to
+# ~2**31; the f32 conversion error is then up to 128, i.e. up to 3*128/p
+# quotients off after the reciprocal multiply.  The single conditional clamp
+# corrects |q error| <= 1, so we need 3*128/p + 0.5 (rounding) to stay
+# below 1.5, i.e. p >= ~780.  Primes below _MIN_P fall back to the jnp path
+# (ops/matmul), which reduces per chunk with narrower accumulators.
+_MIN_P = 1024
+
+
 def supported(f: Field) -> bool:
     """Tier A only: the epilogue's (acc mod p) * w product must fit int32,
-    i.e. (p/2)**2 < 2**31."""
-    return f.tier == "a"
+    i.e. (p/2)**2 < 2**31; and p >= _MIN_P so the float-Barrett quotient
+    error of a ~2**31 accumulator is correctable by one clamp."""
+    return f.tier == "a" and f.p >= _MIN_P
 
 
 def available() -> bool:

@@ -60,14 +60,16 @@ def fl_row_pivots(A: SparseGFp, row_mask=None, col_mask=None):
     if col_mask is None:
         min_col = A.indices[A.indptr[rows]].astype(np.int64)
     else:
-        # first selectable entry per row; rows with none are dropped
-        min_col = np.full(rows.size, -1, np.int64)
-        for idx, i in enumerate(rows):  # vectorize later if hot
-            ji, _ = A.row(i)
-            sel = ji[col_mask[ji]]
-            if sel.size:
-                min_col[idx] = sel[0]
-        keep = min_col >= 0
+        # vectorized first-selectable-entry per row: mask entries, take the
+        # per-row min column over the surviving entries (segment min)
+        re = A.rows_expanded()
+        sel = col_mask[A.indices]
+        if row_mask is not None:
+            sel &= row_mask[re]
+        min_all = np.full(n, m, np.int64)
+        np.minimum.at(min_all, re[sel], A.indices[sel].astype(np.int64))
+        min_col = min_all[rows]
+        keep = min_col < m
         rows, min_col = rows[keep], min_col[keep]
         if rows.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
@@ -111,10 +113,13 @@ def fl_col_pivots(A: SparseGFp, col_selected, row_used):
     keep = np.ones(rows_c.size, bool)
     keep[1:] = rows_c[1:] != rows_c[:-1]
     rows_c, cols_c = rows_c[keep], cols_c[keep]
-    # append-invariant check vs previously selected columns
-    ok = np.fromiter(
-        (not col_selected[A.row(r)[0]].any() for r in rows_c),
-        bool, count=rows_c.size)
+    # append-invariant check vs previously selected columns (vectorized:
+    # per-row count of entries landing in already-selected columns)
+    hits = np.zeros(A.n, np.int64)
+    sel_entries = col_selected[A.indices]
+    if sel_entries.any():
+        np.add.at(hits, A.rows_expanded()[sel_entries], 1)
+    ok = hits[rows_c] == 0
     rows_c, cols_c = rows_c[ok], cols_c[ok]
     # decreasing row order
     rows_c, cols_c = rows_c[::-1].copy(), cols_c[::-1].copy()
@@ -150,12 +155,13 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
     col_counts = np.zeros(A.m, np.int64)
     np.add.at(col_counts, A.indices, 1)
     sel_r, sel_c, sel_p = [], [], []
+    indptr, indices = A.indptr, A.indices
     for _ in range(max_passes):
         added = 0
         cand = np.flatnonzero((~row_used) & (lengths > 0))
         cand = cand[np.argsort(lengths[cand], kind="stable")]
         for i in cand:
-            ji, _ = A.row(i)
+            ji = indices[indptr[i]:indptr[i + 1]]
             free = ji[~col_selected[ji]]
             if free.size == 0:
                 continue
@@ -213,8 +219,15 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True):
         piv_pos_of_col = np.full(m, np.inf)
         piv_pos_of_col[cols] = pos
         col_touch_max = np.full(m, -np.inf)
-        for q, i in zip(pos, rows):
-            np.maximum.at(col_touch_max, A.row(int(i))[0], q)
+        # vectorized: scatter-max each selected row's position onto its
+        # support columns in one call
+        if rows.size:
+            pos_of_row = np.full(n, -np.inf)
+            pos_of_row[rows] = pos
+            re = A.rows_expanded()
+            touch = pos_of_row[re]
+            live = np.isfinite(touch)
+            np.maximum.at(col_touch_max, A.indices[live], touch[live])
         g_r, g_c, g_p = greedy_pivots(A, col_selected, row_used, pos,
                                       piv_pos_of_col, col_touch_max)
         rows = np.concatenate([rows, g_r])

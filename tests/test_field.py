@@ -141,3 +141,26 @@ def test_modmatmul_chunked(rng):
     want = f.normalize(a.astype(object) @ b.astype(object))
     got = np.asarray(modmatmul(f, jnp.array(a, jnp.int32), jnp.array(b, jnp.int32)))
     np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_max_prime_int32_data(rng):
+    """Primes in (2**31, 2**32-5] must work on int32 CSR data (the host
+    range documented in field.py; regression for an OverflowError in
+    normalize when p exceeds the input dtype's range)."""
+    import spasm_tpu as st
+
+    p = 4294967291  # = 2**32 - 5, the largest legal prime
+    f = Field(p)
+    x32 = np.array([-3, 7, 2**31 - 1, -(2**31)], np.int32)
+    got = f.normalize(x32)
+    want = f.normalize(x32.astype(object))
+    np.testing.assert_array_equal(got, want.astype(np.int64))
+    from spasm_tpu.field import datatype_choose
+
+    assert datatype_choose(p) == "i8l5"
+    # end-to-end rank over the max prime (host pipeline)
+    A = st.SparseGFp.rand(f, 24, 30, 0.2, rng)
+    r = st.rank(A)
+    from tests.test_echelonize import dense_rank_oracle
+
+    assert r == dense_rank_oracle(p, A.to_dense())
