@@ -162,6 +162,13 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         L_parts.extend(state["L_parts"])
         log(f"[echelonize] resumed at round {round_idx}, rank {r}")
 
+    if checkpoint and not resume:
+        # initial checkpoint: a run that dense-switches at round 0 (or
+        # crashes mid-round) still leaves a resumable state on disk
+        _save_checkpoint(checkpoint, f, opts, round_idx, r, S, row_origin,
+                         m, U_blocks, piv_cols_all, piv_origin_all, L_parts)
+
+    force_dense = False  # set when a round's density gate trips
     while round_idx < opts.max_round:
         if S.shape[0] == 0 or S.nnz == 0:
             break
@@ -211,10 +218,15 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
         log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
             f"estimated density : {est:.2f}")
-        if (round_idx > 0 and est >= opts.sparsity_threshold
-                and opts.enable_dense):
+        if (est >= opts.sparsity_threshold and opts.enable_dense
+                and (round_idx > 0 or _dense_feasible(S, opts))):
+            # round 0 included when the whole matrix fits the dense budget:
+            # one blocked MXU RREF beats forming a dense-ish sparse Schur
+            # on the host (the reference's spasm_schur_dense role,
+            # src/SpaSM.jl:765)
             log("[echelonize] Schur complement too dense; "
                 "switching to dense finish")
+            force_dense = True
             break
         S_new = C = None
         use_device_sparse = (
@@ -251,22 +263,9 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         row_origin = row_origin[rest_rows]
         round_idx += 1
         if checkpoint:
-            from . import checkpoint as ckpt
-
-            U_cat = sp.vstack(U_blocks, format="csr") if U_blocks else \
-                sp.csr_matrix((0, m), dtype=np.int64)
-            ckpt.save_state(
-                checkpoint, field_p=f.p, round_idx=round_idx, r=r, S=S,
-                row_origin=row_origin, U_sp=U_cat,
-                piv_cols=(np.concatenate(piv_cols_all) if piv_cols_all
-                          else np.zeros(0, np.int64)),
-                piv_origin=(np.concatenate(piv_origin_all)
-                            if piv_origin_all else np.zeros(0, np.int64)),
-                opts_dict={k: v for k, v in
-                           dataclasses.asdict(opts).items()
-                           if isinstance(v, (int, float, bool))},
-                L_parts=L_parts if opts.L else None)
-            log(f"[echelonize] checkpoint saved at round {round_idx}")
+            _save_checkpoint(checkpoint, f, opts, round_idx, r, S,
+                             row_origin, m, U_blocks, piv_cols_all,
+                             piv_origin_all, L_parts)
 
     # ---------------- finish ----------------
     if S.shape[0] and S.nnz:
@@ -284,7 +283,8 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         use_dense = (opts.enable_dense
                      and (opts.dense_block_size + min(nrows, na)) * na
                      <= opts.dense_budget
-                     and (dens >= opts.sparsity_threshold
+                     and (force_dense
+                          or dens >= opts.sparsity_threshold
                           or not opts.enable_GPLU
                           or dense_elems <= 1_000_000
                           or (opts.enable_tall_and_skinny
@@ -367,6 +367,43 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     log(f"[echelonize] Done in {wtime() - t_start:.1f}s. Rank {r}, "
         f"{U.nnz} nz in basis")
     return fact
+
+
+def _save_checkpoint(path, f, opts, round_idx, r, S, row_origin, m,
+                     U_blocks, piv_cols_all, piv_origin_all, L_parts):
+    from . import checkpoint as ckpt
+
+    U_cat = sp.vstack(U_blocks, format="csr") if U_blocks else \
+        sp.csr_matrix((0, m), dtype=np.int64)
+    ckpt.save_state(
+        path, field_p=f.p, round_idx=round_idx, r=r, S=S,
+        row_origin=row_origin, U_sp=U_cat,
+        piv_cols=(np.concatenate(piv_cols_all) if piv_cols_all
+                  else np.zeros(0, np.int64)),
+        piv_origin=(np.concatenate(piv_origin_all)
+                    if piv_origin_all else np.zeros(0, np.int64)),
+        opts_dict={k: v for k, v in dataclasses.asdict(opts).items()
+                   if isinstance(v, (int, float, bool))},
+        L_parts=L_parts if opts.L else None)
+    log(f"[echelonize] checkpoint saved at round {round_idx}")
+
+
+def _dense_feasible(S, opts) -> bool:
+    """Would the blocked dense finish fit the dense budget for S?  Same
+    memory model as the finish dispatch: O((block + rank_tail) * na).
+
+    On an accelerator backend the MXU makes a round-0 dense switch cheap
+    at any budget-fitting size; with CPU-only jax (tests, emulation) the
+    blocked device loop is orders of magnitude slower, so the early switch
+    is only taken at host-RREF-friendly sizes."""
+    import jax
+
+    nrows = int((np.diff(S.indptr) > 0).sum())
+    na = np.unique(S.indices).size
+    budget = opts.dense_budget
+    if jax.default_backend() == "cpu":
+        budget = min(budget, 2_000_000)
+    return (opts.dense_block_size + min(nrows, na)) * na <= budget
 
 
 def _device_sparse_schur(f: Field, mesh, U, pcols, levels, S_rest_sp):
@@ -572,12 +609,18 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
     while b0 < n_s:
         b1 = min(n_s, b0 + bs)
         ri, ci, vi = _block_slice(rows_all, cols_all, vals_all, b0, b1)
+        # bucket the nnz shape: distinct shapes recompile the whole fused
+        # step (minutes over a remote-compile link); zero padding scatters
+        # +0 at (0, 0) which blocked_finish_step's .add ignores
+        ncap = max(512, 1 << int(max(1, ri.size - 1)).bit_length())
+        ri = np.pad(ri.astype(np.int32), (0, ncap - ri.size))
+        ci = np.pad(ci.astype(np.int32), (0, ncap - ci.size))
+        vi = np.pad(vi.astype(np.int32), (0, ncap - vi.size))
         Ud, pc_map, r_d_dev, rank_d, prow_of, pcol_of = (
             dense_ops.blocked_finish_step(
                 f, (bs_b, na_b), dense_ops.DEFAULT_PANEL,
-                jnp.asarray(ri.astype(np.int32)),
-                jnp.asarray(ci.astype(np.int32)),
-                jnp.asarray(vi.astype(np.int32)), Ud, pc_map, r_d_dev))
+                jnp.asarray(ri), jnp.asarray(ci), jnp.asarray(vi),
+                Ud, pc_map, r_d_dev))
         for arr in (rank_d, prow_of, pcol_of):
             try:
                 arr.copy_to_host_async()

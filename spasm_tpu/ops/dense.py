@@ -144,8 +144,30 @@ def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
     is_piv0 = jnp.zeros((n,), bool)
     prow_of0 = jnp.full((nmax,), -1, jnp.int32)
     pcol_of0 = jnp.full((nmax,), -1, jnp.int32)
-    X, is_piv, rank, prow_of, pcol_of = jax.lax.fori_loop(
-        0, npan, do_panel, (X, is_piv0, jnp.int32(0), prow_of0, pcol_of0))
+
+    # Early exit: once every row that still has nonzeros is a pivot row,
+    # later panels are strict no-ops (no candidate rows left).  This is
+    # what keeps rank-deficient / tall blocks from scanning all m/128
+    # panels at full cost.
+    def cond(carry):
+        pi, X, is_piv, rank, prow_of, pcol_of, alive = carry
+        return jnp.logical_and(pi < npan, alive)
+
+    def body(carry):
+        pi, X, is_piv, rank, prow_of, pcol_of, _ = carry
+        X, is_piv, rank, prow_of, pcol_of = do_panel(
+            pi, (X, is_piv, rank, prow_of, pcol_of))
+        # only pivot-eligible columns count: augmentation columns (e.g. the
+        # identity when tracking the transform) never yield pivots
+        row_nz = jnp.any(X[:, :npan * panel] != 0, axis=1)
+        alive = jnp.logical_and(rank < nmax,
+                                jnp.any(jnp.logical_and(row_nz,
+                                                        ~is_piv)))
+        return pi + 1, X, is_piv, rank, prow_of, pcol_of, alive
+
+    _, X, is_piv, rank, prow_of, pcol_of, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), X, is_piv0, jnp.int32(0), prow_of0,
+                     pcol_of0, jnp.bool_(True)))
     return X[:, :m], rank, prow_of, pcol_of, is_piv
 
 
@@ -211,7 +233,9 @@ def blocked_finish_step(f: Field, shape, panel: int,
     from . import modmul
     from .matmul import modmatmul
 
-    X = jnp.zeros((bs, na), jnp.int32).at[rows, cols].set(vals)
+    # .add so zero-padded COO entries (rows=cols=vals=0, used to bucket the
+    # nnz shape and avoid per-block recompiles) are no-ops
+    X = jnp.zeros((bs, na), jnp.int32).at[rows, cols].add(vals)
     coeff = X[:, pc_map]  # empty slots hit zero Ud rows
     X = modmul.sub(f, X, modmatmul(f, coeff, Ud))
     R, new_rank, prow_of, pcol_of, _ = rref_inplace(f, X, na, panel)

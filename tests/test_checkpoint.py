@@ -11,7 +11,7 @@ F = field(42013)
 
 
 def test_checkpoint_resume_equivalence(rng, tmp_path):
-    A = SparseGFp.rand(F, 60, 60, 0.06, rng)
+    A = SparseGFp.rand(F, 400, 400, 0.01, rng)  # sparse: does rounds
     path = str(tmp_path / "state.npz")
     # run with checkpointing: state saved after each round
     f_full = echelonize(A, checkpoint=path, max_round=3)
@@ -22,7 +22,7 @@ def test_checkpoint_resume_equivalence(rng, tmp_path):
 
 
 def test_checkpoint_resume_midway(rng, tmp_path):
-    A = SparseGFp.rand(F, 80, 80, 0.05, rng)
+    A = SparseGFp.rand(F, 400, 400, 0.01, rng)
     p1 = str(tmp_path / "r1.npz")
     # stop after one round, checkpointing
     f1 = echelonize(A, checkpoint=p1, max_round=1)
@@ -43,7 +43,7 @@ def test_checkpoint_wrong_prime(rng, tmp_path):
 
 
 def test_checkpoint_with_L(rng, tmp_path):
-    A = SparseGFp.rand(F, 50, 50, 0.08, rng)
+    A = SparseGFp.rand(F, 400, 400, 0.01, rng)
     path = str(tmp_path / "l.npz")
     echelonize(A, checkpoint=path, L=True, max_round=2)
     fact = echelonize(A, resume=path, L=True, max_round=2)
