@@ -64,6 +64,12 @@ class EchelonizeOptions:
     # sparse waves (ops/sparse_device) above this nnz; 0 disables.
     # Requires opts.L == False (coefficient recording stays on host).
     device_sparse_min_nnz: int = 0
+    # TPU-specific: fully device-resident FL rounds (ops/resident) before
+    # the host round loop.  "auto" enables them on an accelerator backend
+    # when nnz >= device_rounds_min_nnz; True forces (tests), False
+    # disables.  Requires opts.L == False.
+    device_rounds: "str | bool" = "auto"
+    device_rounds_min_nnz: int = 20_000
 
 
 def parse_echelonize_opts(opts=None, **kwargs) -> EchelonizeOptions:
@@ -167,6 +173,37 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         # crashes mid-round) still leaves a resumable state on disk
         _save_checkpoint(checkpoint, f, opts, round_idx, r, S, row_origin,
                          m, U_blocks, piv_cols_all, piv_origin_all, L_parts)
+
+    # device-resident FL rounds (ops/resident): S and the pivot pools stay
+    # on device across rounds, only stop-rule scalars cross the link — the
+    # TPU analog of the reference's in-memory round loop
+    # (src/SpaSM.jl:860-866).  The host loop continues on the residual
+    # (adding FL-cols/greedy pivot harvest and any remaining rounds).
+    if round_idx == 0 and _device_rounds_enabled(opts, f, S):
+        from .ops.resident import device_echelon_rounds
+
+        t0 = wtime()
+        res = device_echelon_rounds(f, S, opts,
+                                    max_round=opts.max_round)
+        if res is not None:
+            log(f"[echelonize/device] {res['rounds']} resident rounds, "
+                f"{res['r']} pivots, {res['S_rest'].nnz} nz left "
+                f"[{wtime() - t0:.1f}s]")
+            U_blocks.append(res["U"])
+            piv_cols_all.append(res["pcols"])
+            piv_origin_all.append(row_origin[res["prows"]])
+            r += res["r"]
+            S = res["S_rest"]
+            # compact away emptied pivot rows so the finish / later rounds
+            # don't iterate dead rows
+            keep_rows = np.flatnonzero(np.diff(S.indptr) > 0)
+            S = S[keep_rows]
+            row_origin = row_origin[keep_rows]
+            round_idx = res["rounds"]
+            if checkpoint:
+                _save_checkpoint(checkpoint, f, opts, round_idx, r, S,
+                                 row_origin, m, U_blocks, piv_cols_all,
+                                 piv_origin_all, L_parts)
 
     force_dense = False  # set when a round's density gate trips
     while round_idx < opts.max_round:
@@ -388,6 +425,19 @@ def _save_checkpoint(path, f, opts, round_idx, r, S, row_origin, m,
     log(f"[echelonize] checkpoint saved at round {round_idx}")
 
 
+def _device_rounds_enabled(opts, f: Field, S) -> bool:
+    if opts.L or opts.device_rounds is False:
+        return False
+    if f.p > (1 << 31) - 1:  # device modular arithmetic range
+        return False
+    if opts.device_rounds is True:
+        return True
+    import jax
+
+    return (jax.default_backend() != "cpu"
+            and S.nnz >= opts.device_rounds_min_nnz)
+
+
 def _dense_feasible(S, opts) -> bool:
     """Would the blocked dense finish fit the dense budget for S?  Same
     memory model as the finish dispatch: O((block + rank_tail) * na).
@@ -408,15 +458,26 @@ def _dense_feasible(S, opts) -> bool:
 
 def _device_sparse_schur(f: Field, mesh, U, pcols, levels, S_rest_sp):
     """Round Schur update on device: sharded over a mesh when given, else
-    single-device sparse waves.  Returns SparseGFp or None on overflow."""
+    single-device sparse waves.  Capacity overflow retries once with a 4x
+    larger working buffer before giving up (returning None -> host
+    fallback)."""
     S_rest = SparseGFp.from_scipy(S_rest_sp, f.p)
     if mesh is not None:
         from .parallel.sparse_sharded import sharded_sparse_eliminate
 
-        return sharded_sparse_eliminate(f, mesh, U, pcols, levels, S_rest)
+        out = sharded_sparse_eliminate(f, mesh, U, pcols, levels, S_rest)
+        if out is None:
+            log("[schur/device] capacity overflow; retrying at 4x cap")
+            out = sharded_sparse_eliminate(f, mesh, U, pcols, levels,
+                                           S_rest, cap_factor=32)
+        return out
     from .ops.sparse_device import eliminate_device
 
-    return eliminate_device(f, U, pcols, levels, S_rest)
+    out = eliminate_device(f, U, pcols, levels, S_rest)
+    if out is None:
+        log("[schur/device] capacity overflow; retrying at 4x cap")
+        out = eliminate_device(f, U, pcols, levels, S_rest, cap_factor=16)
+    return out
 
 
 def schur_estimate_density(f: Field, U_sp, piv_cols, levels, S_rest,

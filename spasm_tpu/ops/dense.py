@@ -10,10 +10,11 @@ MXU:
   the (n, c) panel only — cheap VPU work;
 * the effect of a panel's row operations on the rest of the matrix is, by
   construction, a **rank-c correction**: every op adds multiples of (at most
-  c) pivot rows.  We track it as ``row_i <- s_i * row_i + G[i, :] @ rows(piv)``
-  with ``s`` (n,) the row scalings and ``G`` (n, c) the accumulated
-  coefficients, and apply it to all other columns with ONE exact modular
-  matmul (ops/matmul.py) per panel — MXU int8-limb work;
+  c) pivot rows.  We track it as ``row_i <- row_i + G[i, :] @ rows(piv)``
+  with ``G`` (n, c) the accumulated coefficients (pivot-row scalings are
+  folded into G — see pallas_panel.py), and apply it to all other columns
+  with ONE exact modular matmul (ops/matmul.py) per panel — MXU int8-limb
+  work;
 * data-dependent rank / pivot positions live in masks and index vectors, so
   shapes stay static and the whole factorization jits once per shape.
 
@@ -44,14 +45,20 @@ def _panel_eliminate(f: Field, P, is_piv_row, j0, npivcols: int):
     column j0; only global columns < npivcols are eligible for pivots
     (beyond that lie padding or augmentation columns).
 
-    Returns the final panel, the (s, G) rank-c correction, per-slot pivot
+    The pivot-row scaling is folded into the elimination coefficient
+    (beta[pr] = pinv - 1; beta[i] = -col[i] * pinv), so one rank-1 update
+    per step handles scale + eliminate, and the accumulated correction
+    satisfies  row_i_final = X_i + G_i @ X[prows, :]  with no separate row
+    scalings (see pallas_panel.py for the derivation).
+
+    Returns the final panel, the rank-c correction G, per-slot pivot
     rows/cols (c,), the found mask (c,), and the updated is_piv_row mask.
     Slot k of G corresponds to the k-th pivot found in the panel.
     """
     n, c = P.shape
 
     def body(jj, carry):
-        P, G, s, piv_rows, piv_cols, piv_found, is_piv, kk = carry
+        P, G, piv_rows, piv_cols, piv_found, is_piv, kk = carry
         col = jax.lax.dynamic_slice(P, (0, jj), (n, 1))[:, 0]
         eligible = (j0 + jj) < npivcols
         cand = jnp.logical_and(jnp.logical_not(is_piv),
@@ -59,37 +66,31 @@ def _panel_eliminate(f: Field, P, is_piv_row, j0, npivcols: int):
         pr = jnp.argmax(cand).astype(jnp.int32)
         found = cand[pr]
         pinv = modmul.inv_scalar(f, col[pr])
-        scale = jnp.where(found, pinv, jnp.int32(1))
-        # scale row pr
-        P = P.at[pr].set(modmul.mul(f, P[pr], scale))
-        G = G.at[pr].set(modmul.mul(f, G[pr], scale))
-        s = s.at[pr].set(modmul.mul(f, s[pr], scale))
-        # eliminate column jj from every other row
-        colr = jax.lax.dynamic_slice(P, (0, jj), (n, 1))[:, 0]
-        alpha = jnp.where(found, modmul.neg(f, colr), jnp.int32(0))
-        alpha = alpha.at[pr].set(0)
+        beta = modmul.mul(f, modmul.neg(f, col), pinv)
+        beta = beta.at[pr].set(modmul.sub(f, pinv, jnp.int32(1)))
+        beta = jnp.where(found, beta, jnp.int32(0))
         ek = (jax.lax.broadcasted_iota(jnp.int32, (c,), 0) == kk)
-        g_row = modmul.add(f, G[pr], jnp.where(ek, s[pr], jnp.int32(0)))
-        P = modmul.add(f, P, modmul.mul(f, alpha[:, None], P[pr][None, :]))
-        G = modmul.add(f, G, modmul.mul(f, alpha[:, None], g_row[None, :]))
+        # G[pr, kk] is 0 before this step (slot kk unused), so plain add
+        g_row = G[pr] + jnp.where(ek, jnp.int32(1), jnp.int32(0))
+        P = modmul.add(f, P, modmul.mul(f, beta[:, None], P[pr][None, :]))
+        G = modmul.add(f, G, modmul.mul(f, beta[:, None], g_row[None, :]))
         # bookkeeping
         is_piv = is_piv.at[pr].set(jnp.logical_or(is_piv[pr], found))
         piv_rows = piv_rows.at[kk].set(jnp.where(found, pr, 0))
         piv_cols = piv_cols.at[kk].set(jnp.where(found, jj, 0))
         piv_found = piv_found.at[kk].set(found)
         kk = kk + found.astype(jnp.int32)
-        return P, G, s, piv_rows, piv_cols, piv_found, is_piv, kk
+        return P, G, piv_rows, piv_cols, piv_found, is_piv, kk
 
     G0 = jnp.zeros((n, c), jnp.int32)
-    s0 = jnp.ones((n,), jnp.int32)
     piv_rows0 = jnp.zeros((c,), jnp.int32)
     piv_cols0 = jnp.zeros((c,), jnp.int32)
     piv_found0 = jnp.zeros((c,), bool)
-    init = (P, G0, s0, piv_rows0, piv_cols0, piv_found0, is_piv_row,
+    init = (P, G0, piv_rows0, piv_cols0, piv_found0, is_piv_row,
             jnp.int32(0))
-    P, G, s, piv_rows, piv_cols, piv_found, is_piv_row, _ = jax.lax.fori_loop(
+    P, G, piv_rows, piv_cols, piv_found, is_piv_row, _ = jax.lax.fori_loop(
         0, c, body, init)
-    return P, G, s, piv_rows, piv_cols, piv_found, is_piv_row
+    return P, G, piv_rows, piv_cols, piv_found, is_piv_row
 
 
 def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
@@ -119,16 +120,15 @@ def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
         j0 = pi * panel
         P = jax.lax.dynamic_slice(X, (0, j0), (n, panel))
         if use_pallas_panel:
-            P, G, s, prows, pcols, pfound, is_piv = (
+            P, G, prows, pcols, pfound, is_piv = (
                 pallas_panel.panel_eliminate_pallas(f, npivcols, P, is_piv,
                                                     j0))
         else:
-            P, G, s, prows, pcols, pfound, is_piv = _panel_eliminate(
+            P, G, prows, pcols, pfound, is_piv = _panel_eliminate(
                 f, P, is_piv, j0, npivcols)
         # rank-c correction applied to every column (panel cols overwritten)
         piv_block = X[prows, :]  # (c, m_pad); dummy slots have zero G col
-        upd = modmul.add(f, modmul.mul(f, s[:, None], X),
-                         modmatmul(f, G, piv_block))
+        upd = modmul.add(f, X, modmatmul(f, G, piv_block))
         X = jax.lax.dynamic_update_slice(upd, P, (0, j0))
         # pivots are compacted in slot order == column order within the panel
         nfound = pfound.sum().astype(jnp.int32)

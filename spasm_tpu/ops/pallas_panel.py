@@ -3,12 +3,23 @@
 The blocked Jordan elimination (ops/dense.py) spends most of its time in
 the per-panel sequential loop: 128 pivot-select / scale / rank-1-update
 steps.  As XLA ops each step pays dispatch + HBM round-trip latency; here
-the whole loop runs inside one kernel with the panel P (n x c), the
-correction G (n x c) and the row scalings s resident in VMEM.
+the whole loop runs inside one kernel with the panel P (n x c) and the
+correction G (n x c) resident in VMEM.
 
-Semantics are identical to dense._panel_eliminate (the XLA fallback): see
-there for the (s, G) invariant.  Tier-A primes only (float Barrett
-reduction); larger primes and n > MAX_ROWS fall back.
+Per pivot step the pivot-row scaling is folded into the elimination
+coefficient: with beta[pr] = pinv - 1 and beta[i] = -col[i] * pinv
+otherwise, ONE fused rank-1 update  P += beta * P[pr]  both scales the
+pivot row to a unit pivot and eliminates its column everywhere else, and
+the same beta updates G against g_row = G[pr] + e_slot.  The correction
+invariant is  row_i_final = X_i + G_i @ X[prows, :]  (no separate row
+scalings — the s vector of the earlier design is identically 1 and
+gone).  Products |beta| * |P| <= (p/2)^2 + p/2 < 2^31 stay exact in
+int32 for tier-A primes, so each update needs a single float-Barrett
+reduction (delayed mod).
+
+Semantics are identical to dense._panel_eliminate (the XLA fallback).
+Tier-A primes with p >= _MIN_P only (float Barrett reduction); larger or
+tiny primes and n > MAX_ROWS fall back.
 """
 
 from __future__ import annotations
@@ -21,13 +32,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field import Field
-from .pallas_matmul import _mod_balanced_f32, available
+from .pallas_matmul import _MIN_P, _mod_balanced_f32, available
 
 MAX_ROWS = 4096  # P + G + input copy at c=128 must fit 16 MiB VMEM
 
 
 def supported(f: Field, n: int) -> bool:
-    return f.tier == "a" and n <= MAX_ROWS
+    return f.tier == "a" and f.p >= _MIN_P and n <= MAX_ROWS
 
 
 def _inv_scalar(f: Field, x):
@@ -45,13 +56,13 @@ def _inv_scalar(f: Field, x):
 
 
 def _kernel(f: Field, npivcols: int, c: int,
-            j0_ref, p_in, ispiv_in, P, G, s, prow, pcol, pfound, ispiv):
+            j0_ref, p_in, ispiv_in, P, G, prow, pcol, pfound, ispiv):
     n = P.shape[0]
     p = f.p
+    half = jnp.int32(p // 2)
     P[:] = p_in[:]
     ispiv[:] = ispiv_in[:]
     G[:] = jnp.zeros_like(G)
-    s[:] = jnp.ones_like(s)
     prow[:] = jnp.zeros_like(prow)
     pcol[:] = jnp.zeros_like(pcol)
     pfound[:] = jnp.zeros_like(pfound)
@@ -61,41 +72,33 @@ def _kernel(f: Field, npivcols: int, c: int,
     colid = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
 
     def body(jj, kk):
+        Pv = P[:]
         # single-column extraction via masked lane reduce (dynamic lane
         # slices must be 128-aligned on TPU)
-        col = jnp.sum(jnp.where(colid == jj, P[:], 0), axis=1,
+        col = jnp.sum(jnp.where(colid == jj, Pv, 0), axis=1,
                       keepdims=True)  # (n, 1)
         eligible = (j0 + jj) < npivcols
         cand = (col != 0) & (ispiv[:] == 0) & eligible
         # first candidate row via int min-reduce (Mosaic argmax is f32-only)
         pr = jnp.min(jnp.where(cand, rowid, jnp.int32(n)))
         found = pr < n
+        prc = jnp.where(found, pr, 0)
         is_pr = rowid == pr  # (n, 1)
         pv = jnp.sum(jnp.where(is_pr, col, 0))
         pinv = _inv_scalar(f, pv)
-        scale = jnp.where(found, pinv, jnp.int32(1))
-        # scale row pr of P, G, s (masked full-array ops: no dynamic stores)
-        Prow_all = _mod_balanced_f32(p, P[:] * scale)
-        P[:] = jnp.where(is_pr, Prow_all, P[:])
-        Grow_all = _mod_balanced_f32(p, G[:] * scale)
-        G[:] = jnp.where(is_pr, Grow_all, G[:])
-        s_all = _mod_balanced_f32(p, s[:] * scale)
-        s[:] = jnp.where(is_pr, s_all, s[:])
-        # broadcast the (scaled) pivot row via masked column reductions
-        Prow = jnp.sum(jnp.where(is_pr, P[:], 0), axis=0,
-                       keepdims=True)  # (1, c)
-        sp_ = jnp.sum(jnp.where(is_pr, s[:], 0))
-        ek = (slotid == kk).astype(jnp.int32)
-        Grow = jnp.sum(jnp.where(is_pr, G[:], 0), axis=0, keepdims=True)
-        g_row = _mod_balanced_f32(p, Grow + ek * sp_)
-        # eliminate column jj from every other row
-        colr = jnp.sum(jnp.where(colid == jj, P[:], 0), axis=1,
-                       keepdims=True)
-        alpha = jnp.where(found & ~is_pr, -colr, jnp.int32(0))
-        P[:] = _mod_balanced_f32(p, P[:] + _mod_balanced_f32(
-            p, alpha * Prow))
-        G[:] = _mod_balanced_f32(p, G[:] + _mod_balanced_f32(
-            p, alpha * g_row))
+        # beta folds scale + eliminate into one rank-1:
+        #   row pr:   + (pinv - 1) * row_pr  == scale to unit pivot
+        #   row i!=pr:  - col_i * pinv * row_pr  == eliminate column jj
+        bpr = pinv - jnp.int32(1)
+        bpr = jnp.where(bpr < -half, bpr + jnp.int32(p), bpr)  # rebalance
+        beta = jnp.where(is_pr, bpr, _mod_balanced_f32(p, col * (-pinv)))
+        beta = jnp.where(found, beta, jnp.int32(0))
+        Prow = P[pl.ds(prc, 1), :]                       # (1, c)
+        grow = G[pl.ds(prc, 1), :] + jnp.where(slotid == kk, jnp.int32(1),
+                                               jnp.int32(0))
+        # |beta * Prow| <= (p/2)^2 and |P| <= p/2: exact int32, one mod
+        P[:] = _mod_balanced_f32(p, Pv + beta * Prow)
+        G[:] = _mod_balanced_f32(p, G[:] + beta * grow)
         # bookkeeping
         fi = found.astype(jnp.int32)
         ispiv[:] = jnp.where(is_pr & found, 1, ispiv[:])
@@ -118,13 +121,12 @@ def panel_eliminate_pallas(f: Field, npivcols: int, P, is_piv_row, j0):
     out_shapes = (
         jax.ShapeDtypeStruct((n, c), jnp.int32),   # P
         jax.ShapeDtypeStruct((n, c), jnp.int32),   # G
-        jax.ShapeDtypeStruct((n, 1), jnp.int32),   # s
         jax.ShapeDtypeStruct((1, c), jnp.int32),   # prow
         jax.ShapeDtypeStruct((1, c), jnp.int32),   # pcol
         jax.ShapeDtypeStruct((1, c), jnp.int32),   # pfound
         jax.ShapeDtypeStruct((n, 1), jnp.int32),   # ispiv
     )
-    P2, G, s, prow, pcol, pfound, ispiv = pl.pallas_call(
+    P2, G, prow, pcol, pfound, ispiv = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -136,5 +138,5 @@ def panel_eliminate_pallas(f: Field, npivcols: int, P, is_piv_row, j0):
         out_shape=out_shapes,
         interpret=not available(),
     )(j0_arr, P, ispiv_i32)
-    return (P2, G, s[:, 0], prow[0], pcol[0], pfound[0].astype(bool),
+    return (P2, G, prow[0], pcol[0], pfound[0].astype(bool),
             ispiv[:, 0].astype(bool))

@@ -55,30 +55,21 @@ def _segments_sum_mod(f: Field, vals, seg_change):
     # holds the full segment sum
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def wave_eliminate_device(f: Field, cap: int, cap_hits: int, depth: int,
-                          s_rows, s_cols, s_vals,
-                          u_cols, u_vals, piv_col_of, level_of, col2piv,
-                          nrows):
-    """Eliminate every pivot column from the device COO matrix S.
-
-    S: (cap,) rows/cols/vals, padding rows == nrows (sentinel), vals 0.
-    U: (npiv, Ku) ELL cols (padding -1) / vals (padding 0), unit pivots.
-    piv_col_of (npiv,), level_of (npiv,), col2piv (m,) with -1 for
-    non-pivot columns.  depth = number of waves (static).
-
-    Returns (rows, cols, vals, nnz, overflow).
-    """
-    npiv, Ku = u_cols.shape
+def make_wave_body(f: Field, cap: int, cap_hits: int,
+                   u_cols, u_vals, level_of, col2piv, sentinel):
+    """Build the one-wave closure shared by the standalone eliminator and
+    the device-resident round loop (ops/resident.py).  u_cols/u_vals:
+    (npiv_cap, Ku) ELL; level_of (npiv_cap,); col2piv (m,); entries at
+    rows == sentinel are dead."""
+    npiv_cap, Ku = u_cols.shape
     m = col2piv.shape[0]
-    sentinel = jnp.int32(nrows)
 
     def one_wave(t, carry):
         rows, cols, vals, overflow = carry
         piv = jnp.where(cols >= 0, col2piv[jnp.clip(cols, 0, m - 1)], -1)
         is_hit = (piv >= 0) & (vals != 0) & (rows < sentinel)
         is_hit &= jnp.where(piv >= 0,
-                            level_of[jnp.clip(piv, 0, npiv - 1)] == t,
+                            level_of[jnp.clip(piv, 0, npiv_cap - 1)] == t,
                             False)
         nhits = is_hit.sum()
         overflow = overflow | (nhits > cap_hits)
@@ -121,6 +112,26 @@ def wave_eliminate_device(f: Field, cap: int, cap_hits: int, depth: int,
         vals = jnp.where(kok, sums[ki], 0)
         return rows, cols, vals, overflow
 
+    return one_wave
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def wave_eliminate_device(f: Field, cap: int, cap_hits: int, depth: int,
+                          s_rows, s_cols, s_vals,
+                          u_cols, u_vals, piv_col_of, level_of, col2piv,
+                          nrows):
+    """Eliminate every pivot column from the device COO matrix S.
+
+    S: (cap,) rows/cols/vals, padding rows == nrows (sentinel), vals 0.
+    U: (npiv, Ku) ELL cols (padding -1) / vals (padding 0), unit pivots.
+    piv_col_of (npiv,), level_of (npiv,), col2piv (m,) with -1 for
+    non-pivot columns.  depth = number of waves (static).
+
+    Returns (rows, cols, vals, nnz, overflow).
+    """
+    sentinel = jnp.int32(nrows)
+    one_wave = make_wave_body(f, cap, cap_hits, u_cols, u_vals, level_of,
+                              col2piv, sentinel)
     # derive the initial overflow flag from the inputs so its sharding
     # axes match the loop body's output under shard_map
     overflow0 = jnp.any(s_rows < -1)  # always False, input-derived
@@ -130,19 +141,28 @@ def wave_eliminate_device(f: Field, cap: int, cap_hits: int, depth: int,
     return rows, cols, vals, nnz, overflow
 
 
+def ell_pack(U):
+    """Pack a SparseGFp's rows into a padded ELL block (cols padded -1,
+    vals padded 0) — vectorized (no per-row Python loop)."""
+    npiv = U.shape[0]
+    Ku = int(U.row_lengths().max()) if U.nnz else 1
+    u_cols = np.full((npiv, Ku), -1, np.int64)
+    u_vals = np.zeros((npiv, Ku), np.int64)
+    if U.nnz:
+        re = U.rows_expanded()
+        pos = np.arange(U.nnz, dtype=np.int64) - U.indptr[re]
+        u_cols[re, pos] = U.indices
+        u_vals[re, pos] = U.data
+    return u_cols, u_vals
+
+
 def eliminate_device(f: Field, U, piv_cols, levels, B, cap_factor=4,
                      cap_hits=None):
     """Host-facing wrapper: U, B SparseGFp; returns the eliminated B or
     None on capacity overflow (caller falls back to the host waves)."""
     npiv, m = U.shape
     q = B.shape[0]
-    Ku = int(U.row_lengths().max()) if U.nnz else 1
-    u_cols = np.full((npiv, Ku), -1, np.int64)
-    u_vals = np.zeros((npiv, Ku), np.int64)
-    for k in range(npiv):
-        ji, vi = U.row(k)
-        u_cols[k, :ji.size] = ji
-        u_vals[k, :vi.size] = vi
+    u_cols, u_vals = ell_pack(U)
     col2piv = np.full(m, -1, np.int64)
     col2piv[np.asarray(piv_cols)] = np.arange(npiv)
     i, j, v = B.to_coo()

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..csr import SparseGFp
 from ..field import Field
-from ..ops.sparse_device import wave_eliminate_device
+from ..ops.sparse_device import ell_pack, wave_eliminate_device
 
 
 def shard_rows(B: SparseGFp, nshards: int, cap_per_shard: int):
@@ -61,13 +61,7 @@ def sharded_sparse_eliminate(f: Field, mesh: Mesh, U: SparseGFp, piv_cols,
     cap_hits = max(256, cap // 8)
     rows_l, cols_l, vals_l, per = shard_rows(B, nshards, cap)
 
-    Ku = int(U.row_lengths().max()) if U.nnz else 1
-    u_cols = np.full((npiv, Ku), -1, np.int64)
-    u_vals = np.zeros((npiv, Ku), np.int64)
-    for k in range(npiv):
-        ji, vi = U.row(k)
-        u_cols[k, :ji.size] = ji
-        u_vals[k, :vi.size] = vi
+    u_cols, u_vals = ell_pack(U)
     col2piv = np.full(m, -1, np.int64)
     col2piv[np.asarray(piv_cols)] = np.arange(npiv)
     depth = int(np.asarray(levels).max()) + 1

@@ -151,47 +151,92 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
     (+inf if none).  All four state arrays are updated in place.
     Returns (rows, cols, pos) of the newly selected pivots.
     """
+    n, m = A.shape
     lengths = A.row_lengths()
-    col_counts = np.zeros(A.m, np.int64)
+    col_counts = np.zeros(m, np.int64)
     np.add.at(col_counts, A.indices, 1)
     sel_r, sel_c, sel_p = [], [], []
-    indptr, indices = A.indptr, A.indices
-    for _ in range(max_passes):
-        added = 0
-        cand = np.flatnonzero((~row_used) & (lengths > 0))
-        cand = cand[np.argsort(lengths[cand], kind="stable")]
-        for i in cand:
-            ji = indices[indptr[i]:indptr[i + 1]]
-            free = ji[~col_selected[ji]]
-            if free.size == 0:
-                continue
-            p2 = piv_pos_of_col[ji].min()  # +inf when no selected col hit
-            # choose the sparsest insertable free column
-            p1s = col_touch_max[free]
-            ok = p1s < p2
-            if not ok.any():
-                continue
-            cand_cols = free[ok]
-            j = cand_cols[np.argmin(col_counts[cand_cols])]
-            p1 = col_touch_max[j]
-            lo = p1 if np.isfinite(p1) else (p2 - 2.0 if np.isfinite(p2)
-                                             else 0.0)
-            hi = p2 if np.isfinite(p2) else lo + 2.0
-            q = 0.5 * (lo + hi)
-            if not (p1 < q < p2):
-                continue  # float underflow in a crowded gap: skip
-            col_selected[j] = True
-            row_used[i] = True
-            piv_pos_of_col[j] = q
-            np.maximum.at(col_touch_max, ji, q)
-            sel_r.append(i)
-            sel_c.append(j)
-            sel_p.append(q)
-            added += 1
-        if added == 0:
+    re_all = A.rows_expanded()
+    ci_all = A.indices.astype(np.int64)
+
+    # Batched greedy: each pass computes every unused row's best insertable
+    # column under the CURRENT state, then accepts a mutually
+    # non-interacting subset by weight priority (a row is accepted iff no
+    # lighter accepted row chose a column inside its support).  The
+    # lightest remaining valid candidate is always accepted, so each pass
+    # makes progress; a handful of passes replaces the per-row Python loop
+    # of the sequential formulation (the pivot SET may differ — the
+    # rank/RREF/kernel contract is what is preserved).
+    for _ in range(max(max_passes, 8)):
+        live_row = (~row_used) & (lengths > 0)
+        keep = live_row[re_all]
+        re = re_all[keep]
+        ci = ci_all[keep]
+        if re.size == 0:
             break
-    return (np.array(sel_r, np.int64), np.array(sel_c, np.int64),
-            np.array(sel_p, np.float64))
+        # p2 per row: min position over selected pivot columns in support
+        p2 = np.full(n, np.inf)
+        np.minimum.at(p2, re, piv_pos_of_col[ci])
+        # eligible entries: free column, insertable below the row's p2
+        elig = (~col_selected[ci]) & (col_touch_max[ci] < p2[re])
+        if not elig.any():
+            break
+        re_e, ci_e = re[elig], ci[elig]
+        # per-row best column: minimize (col_count, col) — composite key
+        key = col_counts[ci_e] * (m + 1) + ci_e
+        best_key = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(best_key, re_e, key)
+        rows_c = np.unique(re_e)
+        j_of = (best_key[rows_c] % (m + 1)).astype(np.int64)
+        # priority = weight rank (ties by row index for determinism)
+        order = np.lexsort((rows_c, lengths[rows_c]))
+        rows_c, j_of = rows_c[order], j_of[order]
+        rank_of_row = np.full(n, np.iinfo(np.int64).max)
+        rank_of_row[rows_c] = np.arange(rows_c.size)
+        # min candidate rank touching each column (via supports)
+        mc = np.full(m, np.iinfo(np.int64).max)
+        cand_mask = rank_of_row[re] < np.iinfo(np.int64).max
+        np.minimum.at(mc, ci[cand_mask], rank_of_row[re[cand_mask]])
+        # also columns CHOSEN by candidates (choice may differ from mere
+        # touch only in priority, supports already cover chosen cols)
+        # accept: my rank is strictly the smallest over every column of my
+        # support (so no lighter accepted row interacts with me), and I am
+        # the unique chooser of my column at that rank
+        viol = np.zeros(n, np.int64)
+        np.add.at(viol, re[cand_mask],
+                  (mc[ci[cand_mask]]
+                   < rank_of_row[re[cand_mask]]).astype(np.int64))
+        acc = viol[rows_c] == 0
+        rows_a, j_a = rows_c[acc], j_of[acc]
+        if rows_a.size == 0:
+            break
+        # positions: q in (p1, p2) per accepted row
+        p1 = col_touch_max[j_a]
+        p2a = p2[rows_a]
+        lo = np.where(np.isfinite(p1), p1,
+                      np.where(np.isfinite(p2a), p2a - 2.0, 0.0))
+        hi = np.where(np.isfinite(p2a), p2a, lo + 2.0)
+        q = 0.5 * (lo + hi)
+        ok = (p1 < q) & (q < p2a)  # float underflow in a crowded gap: skip
+        rows_a, j_a, q = rows_a[ok], j_a[ok], q[ok]
+        if rows_a.size == 0:
+            break
+        col_selected[j_a] = True
+        row_used[rows_a] = True
+        piv_pos_of_col[j_a] = q
+        q_of_row = np.full(n, -np.inf)
+        q_of_row[rows_a] = q
+        in_acc = q_of_row[re] > -np.inf
+        np.maximum.at(col_touch_max, ci[in_acc], q_of_row[re[in_acc]])
+        sel_r.append(rows_a)
+        sel_c.append(j_a)
+        sel_p.append(q)
+    if sel_r:
+        return (np.concatenate(sel_r).astype(np.int64),
+                np.concatenate(sel_c).astype(np.int64),
+                np.concatenate(sel_p))
+    return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.float64))
 
 
 def find_structural_pivots(A: SparseGFp, enable_greedy=True):
