@@ -97,32 +97,45 @@ def _elimination_round_local(f: Field, C: int, axis: str, X, row_offset):
     valid = cols < m
     cols_safe = jnp.where(valid, cols, 0)
 
-    # each shard contributes the rows it won; psum replicates the panel
+    # each shard contributes the rows it won.  The exchange is OVERLAPPED
+    # with the Schur compute: first a small (C, C) psum of just the pivot
+    # columns (enough to build the panel inverse), then the full panel in
+    # column stripes — each stripe's all-reduce is independent of the
+    # previous stripe's MXU update, so XLA's async collectives hide the
+    # exchange behind the matmuls (the ICI analog of the reference's
+    # OpenMP overlap, src/SpaSM.jl:470-475).
     win_row = br_g[cols_safe]                         # global row id per slot
     local_idx = win_row - row_offset
     mine = valid & (local_idx >= 0) & (local_idx < nloc)
     idx_safe = jnp.clip(local_idx, 0, nloc - 1)
     contrib = jnp.where(mine[:, None], X[idx_safe], 0)
-    U = jax.lax.psum(contrib, axis)                   # (C, m) replicated
 
-    # scale to unit pivots; dead slots become identity-like (zero row)
-    pivval = U[jnp.arange(C), cols_safe]
+    T_raw = jax.lax.psum(contrib[:, cols_safe], axis)  # (C, C) — small
+    pivval = T_raw[jnp.arange(C), jnp.arange(C)]  # row k's own pivot column
     pinv = _inv_vector(f, pivval)
-    U = modmul.mul(f, U, jnp.where(valid, pinv, 1)[:, None])
-
-    # Jordan-normalize the panel: T = U[:, cols] unit upper triangular
-    # (dead slots: row is zero; put 1 on the diagonal so T stays unit)
-    T = U[:, cols_safe]
+    pinv = jnp.where(valid, pinv, 1)
+    T = modmul.mul(f, T_raw, pinv[:, None])
     eye = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)).astype(jnp.int32)
     T = jnp.where((~valid)[:, None] | (~valid)[None, :], eye, T)
     Tinv = _neumann_inverse(f, T)
-    U = modmatmul(f, Tinv, U)                         # U[:, cols] == I now
+    # fold the unit-pivot scaling into the normalizer: S = Tinv @ diag(pinv)
+    S_norm = modmul.mul(f, Tinv, pinv[None, :])
 
-    # Schur update: one MXU matmul per shard
     coeff = X[:, cols_safe]
     coeff = jnp.where(valid[None, :], coeff, 0)
-    X = modmul.sub(f, X, modmatmul(f, coeff, U))
+    n_stripes = min(4, max(1, m // 512))
+    bounds = [m * s // n_stripes for s in range(n_stripes + 1)]
+    U_parts = []
+    X_parts = []
+    for s in range(n_stripes):
+        s0, s1 = bounds[s], bounds[s + 1]
+        Us = jax.lax.psum(contrib[:, s0:s1], axis)    # stripe exchange
+        Ur = modmatmul(f, S_norm, Us)                 # normalized stripe
+        U_parts.append(Ur)
+        X_parts.append(modmul.sub(f, X[:, s0:s1], modmatmul(f, coeff, Ur)))
+    U = jnp.concatenate(U_parts, axis=1)
+    X = jnp.concatenate(X_parts, axis=1)
     # remove pivot rows from the active matrix
     gid = row_offset + jax.lax.broadcasted_iota(jnp.int32, (nloc, 1), 0)[:, 0]
     is_piv_row = (gid[:, None] == jnp.where(valid, win_row, -1)[None, :]).any(1)

@@ -231,12 +231,63 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
         sel_r.append(rows_a)
         sel_c.append(j_a)
         sel_p.append(q)
+    # sequential mop-up on a bounded set of remaining candidates: the
+    # batched acceptance is conservative on cascade/chain structures
+    # (heavily overlapping supports) where the fractional-insertion rule
+    # shines — cap the Python loop so per-round host work stays bounded
+    sq_r, sq_c, sq_p = _greedy_sequential(
+        A, col_selected, row_used, piv_pos_of_col, col_touch_max,
+        col_counts, lengths, cap=4096)
+    sel_r.append(sq_r)
+    sel_c.append(sq_c)
+    sel_p.append(sq_p)
     if sel_r:
         return (np.concatenate(sel_r).astype(np.int64),
                 np.concatenate(sel_c).astype(np.int64),
                 np.concatenate(sel_p))
     return (np.zeros(0, np.int64), np.zeros(0, np.int64),
             np.zeros(0, np.float64))
+
+
+def _greedy_sequential(A, col_selected, row_used, piv_pos_of_col,
+                       col_touch_max, col_counts, lengths, cap=4096):
+    """Sequential fractional-insertion greedy over at most ``cap`` lightest
+    unused rows (the exact per-row rule; see greedy_pivots docstring)."""
+    indptr, indices = A.indptr, A.indices
+    cand = np.flatnonzero((~row_used) & (lengths > 0))
+    if cand.size > cap:
+        cand = cand[np.argsort(lengths[cand], kind="stable")[:cap]]
+    else:
+        cand = cand[np.argsort(lengths[cand], kind="stable")]
+    sel_r, sel_c, sel_p = [], [], []
+    for i in cand:
+        ji = indices[indptr[i]:indptr[i + 1]]
+        free = ji[~col_selected[ji]]
+        if free.size == 0:
+            continue
+        p2 = piv_pos_of_col[ji].min()  # +inf when no selected col hit
+        p1s = col_touch_max[free]
+        ok = p1s < p2
+        if not ok.any():
+            continue
+        cand_cols = free[ok]
+        j = cand_cols[np.argmin(col_counts[cand_cols])]
+        p1 = col_touch_max[j]
+        lo = p1 if np.isfinite(p1) else (p2 - 2.0 if np.isfinite(p2)
+                                         else 0.0)
+        hi = p2 if np.isfinite(p2) else lo + 2.0
+        q = 0.5 * (lo + hi)
+        if not (p1 < q < p2):
+            continue  # float underflow in a crowded gap: skip
+        col_selected[j] = True
+        row_used[i] = True
+        piv_pos_of_col[j] = q
+        np.maximum.at(col_touch_max, ji, q)
+        sel_r.append(i)
+        sel_c.append(j)
+        sel_p.append(q)
+    return (np.array(sel_r, np.int64), np.array(sel_c, np.int64),
+            np.array(sel_p, np.float64))
 
 
 def find_structural_pivots(A: SparseGFp, enable_greedy=True):

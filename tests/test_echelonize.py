@@ -292,3 +292,22 @@ def test_rref_canonical_under_any_pivots(rng):
                  echelonize(A, max_round=1, dense_block_size=8)]
         rs = [rref_of_U(x) for x in facts]
         assert all(x == rs[0] for x in rs[1:])
+
+
+def test_adversarial_cascade_tail(rng):
+    # Pathological GPLU tail: row i has support {0..i} (a dense cascade —
+    # each FL round alone would harvest ONE pivot, degrading to O(n)
+    # rounds).  The fractional-insertion greedy resolves the whole chain
+    # in a bounded number of waves; enable_dense=False forces the sparse
+    # machinery to handle it end to end.
+    import scipy.sparse as sp
+
+    n = 300
+    ii = np.concatenate([np.full(i + 1, i) for i in range(n)])
+    jj = np.concatenate([np.arange(i + 1) for i in range(n)])
+    vv = np.ones(ii.size, np.int64)
+    A = SparseGFp.from_scipy(
+        sp.csr_matrix((vv, (ii, jj)), shape=(n, n)), F.p)
+    fact = echelonize(A, enable_dense=False, device_rounds=False)
+    assert fact.r == n
+    check_fact(A, fact)
