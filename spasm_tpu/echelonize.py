@@ -179,6 +179,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     # TPU analog of the reference's in-memory round loop
     # (src/SpaSM.jl:860-866).  The host loop continues on the residual
     # (adding FL-cols/greedy pivot harvest and any remaining rounds).
+    dense_piv_start0 = None
     if round_idx == 0 and _device_rounds_enabled(opts, f, S):
         from .ops.resident import device_echelon_rounds
 
@@ -187,19 +188,36 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                                     max_round=opts.max_round)
         if res is not None:
             log(f"[echelonize/device] {res['rounds']} resident rounds, "
-                f"{res['r']} pivots, {res['S_rest'].nnz} nz left "
-                f"[{wtime() - t0:.1f}s]")
+                f"{res['r']} pivots, {res['nnz_rest']} nz left "
+                f"(stop: {res['stop']}) [{wtime() - t0:.1f}s]")
             U_blocks.append(res["U"])
             piv_cols_all.append(res["pcols"])
             piv_origin_all.append(row_origin[res["prows"]])
             r += res["r"]
-            S = res["S_rest"]
-            # compact away emptied pivot rows so the finish / later rounds
-            # don't iterate dead rows
-            keep_rows = np.flatnonzero(np.diff(S.indptr) > 0)
-            S = S[keep_rows]
-            row_origin = row_origin[keep_rows]
             round_idx = res["rounds"]
+            blk_dev = None
+            if res["stop"] == "density" and opts.enable_dense:
+                # dense-bound residual: finish straight from the device
+                # pool (the Schur complement never touches the host)
+                blk_dev = _dense_finish_from_device(f, res, row_origin,
+                                                    opts, m)
+            if blk_dev is not None:
+                Upart_d, pcols_d, porig_d = blk_dev
+                dense_piv_start0 = r
+                U_blocks.append(Upart_d)
+                piv_cols_all.append(pcols_d)
+                piv_origin_all.append(porig_d)
+                r += pcols_d.size
+                S = sp.csr_matrix((0, m), dtype=np.int64)
+                row_origin = np.zeros(0, np.int64)
+                round_idx = opts.max_round  # nothing left for host rounds
+            else:
+                S = res["materialize_S"]()
+                # compact away emptied pivot rows so the finish / later
+                # rounds don't iterate dead rows
+                keep_rows = np.flatnonzero(np.diff(S.indptr) > 0)
+                S = S[keep_rows]
+                row_origin = row_origin[keep_rows]
             if checkpoint:
                 _save_checkpoint(checkpoint, f, opts, round_idx, r, S,
                                  row_origin, m, U_blocks, piv_cols_all,
@@ -313,7 +331,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         log(f"[echelonize] finishing; density = {dens:.3f}; "
             f"aspect ratio = {aspect:.1f}")
         dense_elems = nrows * alive_cols.size
-        dense_piv_start = None
+        dense_piv_start = dense_piv_start0
         # blocked dense memory needs O((block + rank_tail) * na), not
         # O(nrows * na) — tall matrices are always dense-finishable
         na = alive_cols.size
@@ -347,7 +365,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             piv_origin_all.append(porig)
             r += pcols.size
     else:
-        dense_piv_start = None
+        dense_piv_start = dense_piv_start0
 
     # ---------------- assemble ----------------
     if U_blocks:
@@ -423,6 +441,81 @@ def _save_checkpoint(path, f, opts, round_idx, r, S, row_origin, m,
                    if isinstance(v, (int, float, bool))},
         L_parts=L_parts if opts.L else None)
     log(f"[echelonize] checkpoint saved at round {round_idx}")
+
+
+def _dense_finish_from_device(f: Field, res, row_origin, opts, m):
+    """Blocked dense finish fed DIRECTLY from the device-resident pool
+    left by the resident rounds — the Schur complement never returns to
+    the host.  Returns (Usp, pcols, porig) like the other finish blocks,
+    or None (empty tail / budget exceeded -> caller materializes and
+    falls back)."""
+    import jax.numpy as jnp
+
+    from .ops import resident as rz
+
+    rows_d, cols_d, vals_d = res["S_dev"]
+    n_b = res["n_b"]
+    rows2, orig_of_d, nact_d = rz._renumber_rows(n_b, rows_d)
+    nact = int(nact_d)
+    if nact == 0:
+        return None
+    na = m  # device path keeps full column width (no alive-col remap)
+    bs = min(nact, max(128, opts.dense_block_size))
+    if (opts.dense_block_size + min(nact, na)) * na > opts.dense_budget:
+        return None
+    bs_b = dense_ops._bucket(bs)
+    na_b = dense_ops._bucket(na)
+    cap = dense_ops._bucket(min(nact, na)) + bs_b
+    log(f"[echelonize/dense] processing {nact} x {na} in blocks of {bs} "
+        f"(device-resident source)")
+    nblocks = -(-nact // bs)
+    bounds = np.arange(nblocks + 1, dtype=np.int32) * bs
+    bounds[-1] = nact
+    offs = np.asarray(rz._block_offsets(rows2, jnp.asarray(bounds)))
+    counts = np.diff(offs)
+    Ud = jnp.zeros((cap, na_b), jnp.int32)
+    pc_map = jnp.zeros(cap, jnp.int32)
+    r_d_dev = jnp.int32(0)
+    deferred = []
+    for b in range(nblocks):
+        b0, b1 = int(bounds[b]), int(bounds[b + 1])
+        ncap = max(512, 1 << int(max(1, int(counts[b]) - 1)).bit_length())
+        ri, ci, vi = rz._slice_block(ncap, n_b, rows2, cols_d, vals_d,
+                                     jnp.int32(offs[b]),
+                                     jnp.int32(counts[b]), jnp.int32(b0))
+        Ud, pc_map, r_d_dev, rank_d, prow_of, pcol_of = (
+            dense_ops.blocked_finish_step(
+                f, (bs_b, na_b), dense_ops.DEFAULT_PANEL, ri, ci, vi,
+                Ud, pc_map, r_d_dev))
+        for arr in (rank_d, prow_of, pcol_of):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:  # pragma: no cover
+                pass
+        deferred.append((b0, rank_d, prow_of, pcol_of))
+    piv_cols_loc: list[int] = []
+    piv_rows_glob: list[int] = []
+    for pb0, rank_d, prow_of, pcol_of in deferred:
+        new_rank = int(rank_d)
+        if new_rank:
+            prow = np.asarray(prow_of)[:new_rank].astype(np.int64)
+            pcol = np.asarray(pcol_of)[:new_rank].astype(np.int64)
+            piv_cols_loc.extend(pcol.tolist())
+            piv_rows_glob.extend((pb0 + prow).tolist())
+    r_d = len(piv_cols_loc)
+    if r_d == 0:
+        return None
+    nnz_d = dense_ops.count_nonzero_device(Ud)
+    ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
+    er, ec, ev = (np.asarray(x) for x in dense_ops.extract_sparse(Ud, ecap))
+    keep = (er >= 0) & (er < r_d) & (ec < na)
+    Usp = sp.csr_matrix(
+        (ev[keep].astype(np.int64), (er[keep], ec[keep])), shape=(r_d, m))
+    log(f"[echelonize/dense] done, {r_d} pivots")
+    orig_of = np.asarray(orig_of_d).astype(np.int64)
+    porig = row_origin[orig_of[np.asarray(piv_rows_glob, np.int64)]]
+    pcols = np.asarray(piv_cols_loc, np.int64)
+    return mod_reduce(Usp, f), pcols, porig
 
 
 def _device_rounds_enabled(opts, f: Field, S) -> bool:

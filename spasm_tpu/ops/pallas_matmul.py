@@ -41,10 +41,13 @@ _MIN_P = 1024
 
 
 def supported(f: Field) -> bool:
-    """Tier A only: the epilogue's (acc mod p) * w product must fit int32,
-    i.e. (p/2)**2 < 2**31; and p >= _MIN_P so the float-Barrett quotient
-    error of a ~2**31 accumulator is correctable by one clamp."""
-    return f.tier == "a" and f.p >= _MIN_P
+    """Tier A (p <= 92681): direct int32 combine in the epilogue.  Tier B
+    (92681 < p < 2**31): the limb diagonals still accumulate in int32 (the
+    int8 limb products are p-independent); the epilogue combines them with
+    an unsigned 16x16-split multiply, exact for the full tier-B range.
+    p >= _MIN_P in both tiers so the float-Barrett quotient error of a
+    ~2**31 accumulator is correctable by one clamp."""
+    return f.p >= _MIN_P and f.p < (1 << 31)
 
 
 def available() -> bool:
@@ -73,6 +76,40 @@ def _mod_balanced_f32(p: int, x):
     return r
 
 
+def _modu32_f32(p: int, v):
+    """v mod p for uint32 v < 2**32, 92681 < p < 2**31: float-Barrett
+    quotient (f32 conversion error <= 256 => quotient error << 1), exact
+    uint32 wrap-around multiply-subtract, one conditional +p correction."""
+    pu = jnp.uint32(p)
+    q = jnp.round(v.astype(jnp.float32)
+                  * np.float32(1.0 / p)).astype(jnp.uint32)
+    r = v - q * pu  # wraps iff the true remainder is negative
+    return jnp.where(r > jnp.uint32(1 << 31), r + pu, r)
+
+
+def _mulmod_u32(p: int, x, w: int):
+    """(x * w) mod p for uint32 x in [0, p), scalar weight w in [0, p),
+    p < 2**31 — 16x16 split; shifts reassemble via exact mod-doubling."""
+    pu = jnp.uint32(p)
+    mask = jnp.uint32(0xFFFF)
+    x1, x0 = x >> 16, x & mask
+    w1, w0 = int(w) >> 16, int(w) & 0xFFFF
+    t_lo = _modu32_f32(p, x0 * jnp.uint32(w0))
+    t_mid = _modu32_f32(p, x1 * jnp.uint32(w0) + x0 * jnp.uint32(w1))
+    t_hi = _modu32_f32(p, x1 * jnp.uint32(w1))
+    r = t_hi
+    for _ in range(16):
+        r2 = r + r
+        r = jnp.where(r2 >= pu, r2 - pu, r2)
+    r = r + t_mid
+    r = jnp.where(r >= pu, r - pu, r)
+    for _ in range(16):
+        r2 = r + r
+        r = jnp.where(r2 >= pu, r2 - pu, r2)
+    r = r + t_lo
+    return jnp.where(r >= pu, r - pu, r)
+
+
 def _kernel(f: Field, nl: int, nk: int, *refs):
     a_refs = refs[:nl]
     b_refs = refs[nl:2 * nl]
@@ -96,13 +133,28 @@ def _kernel(f: Field, nl: int, nk: int, *refs):
     @pl.when(k == nk - 1)
     def _():
         p = f.p
-        w = [pow(256, s, p) for s in range(2 * nl - 1)]
-        w = [x - p if x > p // 2 else x for x in w]
-        total = jnp.zeros_like(accs[0][:])
-        for s in range(2 * nl - 1):
-            d = _mod_balanced_f32(p, accs[s][:])
-            total = total + _mod_balanced_f32(p, d * np.int32(w[s]))
-        o_ref[:] = _mod_balanced_f32(p, total)
+        if f.tier == "a":
+            w = [pow(256, s, p) for s in range(2 * nl - 1)]
+            w = [x - p if x > p // 2 else x for x in w]
+            total = jnp.zeros_like(accs[0][:])
+            for s in range(2 * nl - 1):
+                d = _mod_balanced_f32(p, accs[s][:])
+                total = total + _mod_balanced_f32(p, d * np.int32(w[s]))
+            o_ref[:] = _mod_balanced_f32(p, total)
+        else:
+            # tier B: |d|, w up to ~2**30 — combine in uint32 with a
+            # 16x16-split multiply (exact for p < 2**31)
+            pu = jnp.uint32(p)
+            total = jnp.zeros(accs[0].shape, jnp.uint32)
+            for s in range(2 * nl - 1):
+                d = _mod_balanced_f32(p, accs[s][:])
+                du = jnp.where(d < 0, d + np.int32(p), d).astype(jnp.uint32)
+                prod = _mulmod_u32(p, du, pow(256, s, p))
+                t2 = total + prod          # both < p < 2**31: sum < 2**32
+                total = jnp.where(t2 >= pu, t2 - pu, t2)
+            ts = total.astype(jnp.int32)
+            o_ref[:] = jnp.where(ts > np.int32(p // 2), ts - np.int32(p),
+                                 ts)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))

@@ -4,31 +4,35 @@ The host echelonize driver (echelonize.py) re-wraps the Schur complement
 in scipy every round; this module is the TPU-resident equivalent of the
 reference's in-memory round loop (``spasm_echelonize``'s pivot-search +
 ``spasm_schur`` iteration, src/SpaSM.jl:758-778,860-866): the working
-matrix lives on device as sorted fixed-capacity COO across ALL rounds,
-and each round is ONE fused jitted step —
+matrix lives on device as fixed-capacity COO across ALL rounds, and a
+round is driven by three small jitted programs (deliberately small — one
+fused megaprogram is slow to compile on remote-compile links):
 
-  1. per-row segment metadata (leading column, weight) via the sort order;
-  2. Faugère-Lachartre election entirely on device: one (n,)-sized sort by
-     (leading column, weight, row), first-of-column wins;
-  3. pivot rows scaled to unit pivots (vectorized Fermat inverse) and
-     packed into a padded ELL block by GATHERS (no host loop, no scatter
-     with duplicate indices on the hot path);
-  4. elimination-DAG levels by a scatter-max fixpoint;
-  5. the level-wave expand/sort/reduce elimination
-     (ops/sparse_device.make_wave_body) over a traced depth;
-  6. this round's pivots appended to device-side U/metadata pools.
+``_round_begin``
+  one (cap,)-sort + duplicate-sum + compaction of the entry pool, per-row
+  segment metadata, Faugère-Lachartre election (an (n,)-sort by leading
+  column / weight / row; first of each column wins), vectorized Fermat
+  inverses, gather-based ELL packing of the pivot block, a scatter-max
+  level fixpoint, and removal of the pivot rows from S.
 
-Only four scalars (npiv, overflow, nnz, active rows) cross the link per
-round for the stopping rules — S, U and all metadata stay on device until
-the loop ends.  Capacity overflow (entry pool, per-wave hits, ELL width,
-pivot pool) aborts the device phase with the previous round's state
-intact; the host loop continues from there.
+``_wave_append``
+  ONE elimination wave, sort-free: entries sitting in a level-t pivot
+  column emit that pivot row's ELL entries scaled by -coef, appended at
+  the pool's write pointer.  Duplicate (row, col) positions are allowed to
+  accumulate — by linearity each partial coefficient can emit separately —
+  and are only summed at the next round's sort.  The cancellation entry at
+  the pivot column is emitted too, so the pool is algebraically exact at
+  all times.
 
-Pivot strategy is FL-rows only (the device analog of
-``spasm_pivots_extract_structural``'s first phase, src/SpaSM.jl:775-778);
-the host loop's FL-cols/greedy completion still runs afterwards on the
-residual, so the combined pivot quality matches the host-only path over
-extra rounds.
+``_extract``
+  final sort + duplicate-sum + compaction for reading S back.
+
+Pivots accumulate in device pools; only stop-rule scalars (npiv, depth,
+overflow, nnz) cross the host link each round.  Capacity overflow (entry
+pool, per-wave hits, ELL width, pivot pool) aborts the device phase with
+the previous round's state intact; the host loop continues from there,
+adding FL-cols/greedy completion and any remaining rounds on the
+residual.
 """
 
 from __future__ import annotations
@@ -42,16 +46,49 @@ import jax.numpy as jnp
 
 from ..field import Field
 from . import modmul
-from .sparse_device import make_wave_body
+from .sparse_device import _segments_sum_mod
 
-DEFAULT_KU = 96
+DEFAULT_KU = 64
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _round_step(f: Field, cap: int, cap_hits: int, ku: int, npool: int,
-                nm, rows, cols, vals, up_cols, up_vals, up_pcol, up_prow,
-                col2piv_pool, r_dev):
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _compact(f: Field, nm, rows, cols, vals):
+    """Sort by (row, col), sum duplicate positions mod p, drop zeros and
+    dead entries, compact live entries to the front.  Returns the new
+    (rows, cols, vals, nnz)."""
     n, m = nm
+    cap = rows.shape[0]
+    rows, cols, vals = jax.lax.sort((rows, cols, vals), num_keys=2)
+    change = jnp.ones(cap, bool)
+    change = change.at[1:].set(
+        (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1]))
+    sums = _segments_sum_mod(f, vals, change)
+    is_last = jnp.ones(cap, bool)
+    is_last = is_last.at[:-1].set(change[1:])
+    keep = is_last & (sums != 0) & (rows < n)
+    kidx = jnp.nonzero(keep, size=cap, fill_value=cap)[0]
+    kok = kidx < cap
+    ki = jnp.clip(kidx, 0, cap - 1)
+    rows = jnp.where(kok, rows[ki], n)
+    cols = jnp.where(kok, cols[ki], 0)
+    vals = jnp.where(kok, sums[ki], 0)
+    return rows, cols, vals, kok.sum()
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _round_begin(f: Field, nm, ku: int, npool: int,
+                 rows, cols, vals, up_cols, up_vals, up_pcol, up_prow,
+                 r_dev):
+    """Compact the pool, elect FL pivots, build the scaled pivot ELL block
+    and its wave levels, drop pivot rows from S, append to the pools.
+
+    Returns (state..., u_cols, u_vals, lev, col2piv, write_ptr, npiv,
+    depth, overflow)."""
+    n, m = nm
+    cap = rows.shape[0]
+    # input invariant: entries sorted by (row, col), duplicates summed,
+    # live entries compacted to the front (host upload / _compact output)
+    nnz = (rows < n).sum()
     idx = jnp.arange(cap, dtype=jnp.int32)
     live = rows < n
     prev_same = jnp.concatenate(
@@ -60,9 +97,6 @@ def _round_step(f: Field, cap: int, cap_hits: int, ku: int, npool: int,
         [rows[1:] == rows[:-1], jnp.zeros(1, bool)])
     is_first = live & ~prev_same
     is_last = live & ~next_same
-
-    # per-row segment metadata (entries sorted by (row, col): the leading
-    # entry of each row is its first)
     rows_f = jnp.where(is_first, rows, n)
     first_of_row = jnp.full(n + 1, cap, jnp.int32).at[rows_f].min(idx)[:n]
     rows_l = jnp.where(is_last, rows, n)
@@ -74,25 +108,23 @@ def _round_step(f: Field, cap: int, cap_hits: int, ku: int, npool: int,
     lead_val = jnp.where(has_row, vals[fo], 0)
     act_rows = has_row.sum()
 
-    # FL election: sort rows by (lead_col, weight, row); the first row of
-    # each lead-column group wins that column (lightest, lowest index —
-    # deterministic)
+    # FL election: first row of each leading-column group (lightest,
+    # lowest index — deterministic)
     rid = jnp.arange(n, dtype=jnp.int32)
     sc, sw, sr = jax.lax.sort((lead_col, weight, rid), num_keys=3)
     won = (sc < m) & jnp.concatenate(
         [jnp.ones(1, bool), sc[1:] != sc[:-1]])
-    pividx_s = jnp.cumsum(won.astype(jnp.int32)) - 1   # valid where won
+    pividx_s = jnp.cumsum(won.astype(jnp.int32)) - 1
     npiv = won.sum()
     is_piv_row = jnp.zeros(n, bool).at[sr].set(won)    # sr is a permutation
-    # per-pivot (by increasing pivot column) metadata; slot n is trash
-    tgt = jnp.where(won, pividx_s, n)
+    tgt = jnp.where(won, pividx_s, n)                  # slot n is trash
     piv_row_of = jnp.zeros(n + 1, jnp.int32).at[tgt].set(sr)[:n]
     piv_col_of = jnp.zeros(n + 1, jnp.int32).at[tgt].set(sc)[:n]
     ctgt = jnp.where(won, sc, m)
     col2piv = jnp.full(m + 1, -1, jnp.int32).at[ctgt].set(
         jnp.where(won, pividx_s, -1))[:m]
 
-    # scale pivot rows to unit pivots; build the U ELL block by gathers
+    # scale pivot rows to unit pivots; ELL block built by gathers
     pv = lead_val[piv_row_of]
     pinv = modmul.inv_scalar(f, pv)                    # vectorized Fermat
     ku_ovf = jnp.any(jnp.where(is_piv_row, weight, 0) > ku)
@@ -127,17 +159,15 @@ def _round_step(f: Field, cap: int, cap_hits: int, ku: int, npool: int,
         (jnp.zeros(n, jnp.int32), npiv > 0, jnp.int32(0)))
     depth = jnp.where(npiv > 0, lev.max() + 1, 0)
 
-    # drop pivot rows from S, then run the level waves
+    # drop pivot rows from S (they live on in the U pool)
     entry_piv = live & is_piv_row[jnp.clip(rows, 0, n - 1)]
-    rows_w = jnp.where(entry_piv, n, rows)
-    cols_w = jnp.where(entry_piv, 0, cols)
-    vals_w = jnp.where(entry_piv, 0, vals)
-    one_wave = make_wave_body(f, cap, cap_hits, u_cols, u_vals, lev,
-                              col2piv, jnp.int32(n))
-    ovf0 = ku_ovf & False  # input-derived False
-    rows_w, cols_w, vals_w, wave_ovf = jax.lax.fori_loop(
-        0, depth, one_wave, (rows_w, cols_w, vals_w, ovf0))
-    nnz = (rows_w < n).sum()
+    rows = jnp.where(entry_piv, n, rows)
+    cols = jnp.where(entry_piv, 0, cols)
+    vals = jnp.where(entry_piv, 0, vals)
+    n_dropped = entry_piv.sum()
+    # pool entries are compacted: live region is [0, nnz) minus dropped
+    # pivot entries interleaved — the wave appends go after nnz anyway
+    write_ptr = nnz
 
     # append this round's pivots to the device pools
     pool_ovf = (r_dev + npiv) > npool
@@ -147,12 +177,73 @@ def _round_step(f: Field, cap: int, cap_hits: int, ku: int, npool: int,
     up_vals = up_vals.at[pool_row].set(u_vals, mode="drop")
     up_pcol = up_pcol.at[pool_row].set(piv_col_of, mode="drop")
     up_prow = up_prow.at[pool_row].set(piv_row_of, mode="drop")
-    col2piv_pool = jnp.where((col2piv >= 0) & ~pool_ovf,
-                             col2piv + r_dev, col2piv_pool)
     r_new = r_dev + jnp.where(pool_ovf, 0, npiv)
-    overflow = ku_ovf | wave_ovf | pool_ovf
-    return (rows_w, cols_w, vals_w, up_cols, up_vals, up_pcol, up_prow,
-            col2piv_pool, r_new, npiv, overflow, nnz, act_rows)
+    overflow = ku_ovf | pool_ovf
+    return (rows, cols, vals, up_cols, up_vals, up_pcol, up_prow, r_new,
+            u_cols, u_vals, lev, col2piv, write_ptr, npiv, depth,
+            overflow, act_rows)
+
+
+def _wave_append(f: Field, n: int, cap_hits: int,
+                 rows, cols, vals, u_cols, u_vals, lev, col2piv, t,
+                 write_ptr, overflow):
+    """One sort-free elimination wave: entries in level-t pivot columns
+    emit -coef * (pivot row) appended at write_ptr.  Exact by linearity;
+    duplicates resolve at the next compaction."""
+    cap = rows.shape[0]
+    npiv_cap, ku = u_cols.shape
+    m = col2piv.shape[0]
+    piv = jnp.where(cols >= 0, col2piv[jnp.clip(cols, 0, m - 1)], -1)
+    is_hit = (piv >= 0) & (vals != 0) & (rows < n)
+    is_hit &= jnp.where(
+        piv >= 0, lev[jnp.clip(piv, 0, npiv_cap - 1)] == t, False)
+    nhits = is_hit.sum()
+    overflow = overflow | (nhits > cap_hits)
+    hit_idx = jnp.nonzero(is_hit, size=cap_hits, fill_value=cap)[0]
+    hit_ok = hit_idx < cap
+    hi = jnp.clip(hit_idx, 0, cap - 1)
+    h_row = jnp.where(hit_ok, rows[hi], n)
+    h_piv = jnp.where(hit_ok, piv[hi], 0)
+    h_coef = jnp.where(hit_ok, vals[hi], 0)
+    e_cols = u_cols[h_piv]                              # (cap_hits, ku)
+    e_vals = modmul.mul(f, modmul.neg(f, h_coef)[:, None], u_vals[h_piv])
+    e_rows = jnp.broadcast_to(h_row[:, None], e_cols.shape)
+    e_live = (e_cols >= 0) & (e_vals != 0) & (e_rows < n)
+    flat = e_live.ravel()
+    n_emit = flat.sum()
+    overflow = overflow | (write_ptr + n_emit > cap)
+    eidx = jnp.nonzero(flat, size=cap_hits * ku,
+                       fill_value=cap_hits * ku)[0]
+    eok = eidx < cap_hits * ku
+    ei = jnp.clip(eidx, 0, cap_hits * ku - 1)
+    a_rows = jnp.where(eok, e_rows.ravel()[ei], n)
+    a_cols = jnp.where(eok, e_cols.ravel()[ei], 0)
+    a_vals = jnp.where(eok, e_vals.ravel()[ei], 0)
+    # append via drop-mode scatter at unique indices: the compacted
+    # emissions land at [write_ptr, write_ptr + n_emit); padding and
+    # overflowing entries are dropped (overflow is flagged above)
+    tgt = jnp.where(eok, write_ptr + jnp.arange(a_rows.shape[0],
+                                                dtype=jnp.int32), cap)
+    rows = rows.at[tgt].set(a_rows, mode="drop", unique_indices=True)
+    cols = cols.at[tgt].set(a_cols, mode="drop", unique_indices=True)
+    vals = vals.at[tgt].set(a_vals, mode="drop", unique_indices=True)
+    return rows, cols, vals, write_ptr + n_emit, overflow
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _waves_all(f: Field, n: int, cap_hits: int, depth,
+               rows, cols, vals, u_cols, u_vals, lev, col2piv, write_ptr):
+    """All elimination waves in one dispatch (fori_loop over the traced
+    depth) — one host->device round trip per round instead of per wave."""
+
+    def body(t, carry):
+        rows, cols, vals, wp, ovf = carry
+        return _wave_append(f, n, cap_hits, rows, cols, vals, u_cols,
+                            u_vals, lev, col2piv, t, wp, ovf)
+
+    ovf0 = depth < 0  # input-derived False
+    return jax.lax.fori_loop(
+        0, depth, body, (rows, cols, vals, write_ptr, ovf0))
 
 
 def _bucket_pow2(x: int, lo: int = 1 << 14) -> int:
@@ -160,14 +251,14 @@ def _bucket_pow2(x: int, lo: int = 1 << 14) -> int:
 
 
 def device_echelon_rounds(f: Field, S, opts, max_round: int,
-                          cap_factor: int = 8, ku: int = DEFAULT_KU):
+                          cap_factor: int = 8, ku: int | None = None):
     """Run FL structural-pivot rounds fully on device.
 
     S: scipy csr (canonical, mod-reduced).  Returns None if the device
     phase could not run (round-0 overflow), else a dict with
     ``U`` (scipy csr, unit pivot rows in elimination order), ``pcols``,
     ``prows`` (pivot row ids in S's numbering), ``S_rest`` (scipy csr,
-    same shape as S with pivot rows emptied), and ``rounds``.
+    same shape as S with pivot rows removed/empty), and ``rounds``.
     """
     import scipy.sparse as sp
 
@@ -176,64 +267,132 @@ def device_echelon_rounds(f: Field, S, opts, max_round: int,
     if nnz0 == 0 or n == 0:
         return None
     cap = _bucket_pow2(cap_factor * nnz0)
-    cap_hits = max(1 << 12, cap // 8)
-    npool = min(n, m)
+    cap_hits = max(1 << 12, cap // 16)
+    if ku is None:
+        max_len = int(np.diff(S.indptr).max()) if nnz0 else 1
+        ku = min(128, _bucket_pow2(max_len, lo=16))
+    # bucket the id spaces so one compiled program serves a whole range of
+    # matrix shapes (distinct shapes would otherwise recompile everything
+    # — minutes over a remote-compile link).  Rows >= n simply never hold
+    # entries; columns >= m never win an election.
+    n_b = _bucket_pow2(n, lo=1 << 12)
+    m_b = _bucket_pow2(m, lo=1 << 12)
+    npool = _bucket_pow2(min(n, m), lo=1 << 12)
     Sc = S.tocoo()
-    order = np.lexsort((Sc.col, Sc.row))
-    ri, ci, vi = Sc.row[order], Sc.col[order], Sc.data[order]
-    rows = np.full(cap, n, np.int32)
+    rows = np.full(cap, n_b, np.int32)
     cols = np.zeros(cap, np.int32)
     vals = np.zeros(cap, np.int32)
-    rows[:ri.size] = ri
-    cols[:ci.size] = ci
-    vals[:vi.size] = vi
-
+    rows[:Sc.row.size] = Sc.row
+    cols[:Sc.col.size] = Sc.col
+    vals[:Sc.data.size] = Sc.data
     state = (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
              jnp.full((npool, ku), -1, jnp.int32),
              jnp.zeros((npool, ku), jnp.int32),
              jnp.zeros(npool, jnp.int32),
              jnp.zeros(npool, jnp.int32),
-             jnp.full(m, -1, jnp.int32),
              jnp.int32(0))
     rounds = 0
+    nm = (n_b, m_b)
+    stop = "max_round"
+    nnz_last = nnz0
     while rounds < max_round:
-        out = _round_step(f, cap, cap_hits, ku, npool, (n, m), *state)
-        new_state = out[:9]
-        npiv, ovf, nnz, act = jax.device_get(out[9:13])
-        if ovf:
-            if rounds == 0:
-                return None  # nothing accepted; host path takes over
+        out = _round_begin(f, nm, ku, npool, *state)
+        cand_state = out[:8]
+        u_cols, u_vals, lev, col2piv, write_ptr = out[8:13]
+        depth_d = out[14]
+        rows_w, cols_w, vals_w, write_ptr, ovf_d = _waves_all(
+            f, n_b, cap_hits, depth_d, cand_state[0], cand_state[1],
+            cand_state[2], u_cols, u_vals, lev, col2piv, write_ptr)
+        rows_w, cols_w, vals_w, nnz_d = _compact(f, nm, rows_w, cols_w,
+                                                 vals_w)
+        npiv, ovf0, act, wave_ovf, nnz_true = jax.device_get(
+            (out[13], out[15], out[16], ovf_d, nnz_d))
+        if ovf0 or bool(wave_ovf):
+            stop = "overflow"
             break
-        state = new_state
+        if int(npiv) == 0:
+            stop = "no-pivots"
+            break
+        state = (rows_w, cols_w, vals_w) + cand_state[3:]
         rounds += 1
-        if npiv == 0 or nnz == 0:
+        nnz_last = int(nnz_true)
+        if int(npiv) < opts.min_pivot_proportion * max(1, min(int(act), m)):
+            stop = "pivots"
             break
-        if npiv < opts.min_pivot_proportion * max(1, min(int(act), m)):
+        if nnz_last == 0:
+            stop = "empty"
             break
-        dens = int(nnz) / max(1, int(act) * m)
-        if dens >= opts.sparsity_threshold:
+        if nnz_last / max(1, int(act) * m) >= opts.sparsity_threshold:
+            stop = "density"
             break
-    r = int(jax.device_get(state[8]))
+    if rounds == 0:
+        return None
+    r = int(jax.device_get(state[7]))
     if r == 0:
         return None
 
-    rows_d, cols_d, vals_d = state[0], state[1], state[2]
-    up_cols, up_vals, up_pcol, up_prow = state[3], state[4], state[5], state[6]
-    nnz_s = int(jax.device_get((rows_d < n).sum()))
-    # S is compacted to the front after each wave's sort
-    sr = np.asarray(rows_d[:nnz_s]).astype(np.int64)
-    sc_ = np.asarray(cols_d[:nnz_s]).astype(np.int64)
-    sv = np.asarray(vals_d[:nnz_s]).astype(np.int64)
-    S_rest = sp.csr_matrix((sv, (sr, sc_)), shape=(n, m), dtype=np.int64)
+    # accepted states are already compacted (round-end _compact)
+    rows_c, cols_c, vals_c = state[0], state[1], state[2]
+
+    def materialize_S():
+        sr = np.asarray(rows_c[:nnz_last]).astype(np.int64)
+        sc_ = np.asarray(cols_c[:nnz_last]).astype(np.int64)
+        sv = np.asarray(vals_c[:nnz_last]).astype(np.int64)
+        return sp.csr_matrix((sv, (sr, sc_)), shape=(n, m), dtype=np.int64)
+
     # U pool -> csr (first r rows of the ELL block)
-    uc = np.asarray(up_cols[:r])
-    uv = np.asarray(up_vals[:r])
+    uc = np.asarray(state[3][:r])
+    uv = np.asarray(state[4][:r])
     uok = uc >= 0
     urow = np.repeat(np.arange(r, dtype=np.int64), uok.sum(axis=1))
     U = sp.csr_matrix(
         (uv[uok].astype(np.int64), (urow, uc[uok].astype(np.int64))),
         shape=(r, m), dtype=np.int64)
-    pcols = np.asarray(up_pcol[:r]).astype(np.int64)
-    prows = np.asarray(up_prow[:r]).astype(np.int64)
-    return dict(U=U, pcols=pcols, prows=prows, S_rest=S_rest,
-                rounds=rounds, r=r)
+    pcols = np.asarray(state[5][:r]).astype(np.int64)
+    prows = np.asarray(state[6][:r]).astype(np.int64)
+    return dict(U=U, pcols=pcols, prows=prows,
+                materialize_S=materialize_S, rounds=rounds, r=r,
+                stop=stop, nnz_rest=nnz_last, n_b=n_b,
+                S_dev=(rows_c, cols_c, vals_c))
+
+
+# ---------- device-S -> dense-finish bridge (no host round trip) ----------
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _renumber_rows(n_b: int, rows):
+    """Compact the (sorted) pool's row ids to 0..nact-1.  Returns the
+    renumbered rows (dead entries -> n_b), the original id of each compact
+    row (orig_of, (n_b,)), and nact."""
+    cap = rows.shape[0]
+    live = rows < n_b
+    prev_same = jnp.concatenate([jnp.zeros(1, bool), rows[1:] == rows[:-1]])
+    is_first = live & ~prev_same
+    new_of_entry = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    rows2 = jnp.where(live, new_of_entry, n_b)
+    tgt = jnp.where(is_first, new_of_entry, n_b)
+    orig_of = jnp.zeros(n_b + 1, jnp.int32).at[tgt].set(rows)[:n_b]
+    return rows2, orig_of, is_first.sum()
+
+
+@jax.jit
+def _block_offsets(rows, bounds):
+    """searchsorted offsets of the (sorted, renumbered) rows at the block
+    boundaries."""
+    return jnp.searchsorted(rows, bounds)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _slice_block(ncap: int, n_b: int, rows, cols, vals, off, count, b0):
+    """Extract a block's entries: ncap (static, bucketed) entries starting
+    at off, masked to the first `count`, rows rebased to b0."""
+    cap = rows.shape[0]
+    off = jnp.minimum(off, cap - ncap)
+    r = jax.lax.dynamic_slice(rows, (off,), (ncap,))
+    c = jax.lax.dynamic_slice(cols, (off,), (ncap,))
+    v = jax.lax.dynamic_slice(vals, (off,), (ncap,))
+    ok = jnp.arange(ncap, dtype=jnp.int32) < count
+    r = jnp.where(ok, r - b0, 0)
+    c = jnp.where(ok, c, 0)
+    v = jnp.where(ok, v, 0)
+    return r, c, v

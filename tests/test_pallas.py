@@ -58,3 +58,21 @@ def test_mod_balanced_f32_exact(rng):
         jnp.asarray(xs)))
     want = f.normalize(xs.astype(np.int64))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_matmul_tier_b_exact(rng):
+    # full tier-B range incl. the top: unsigned split epilogue must be
+    # exact vs the big-int oracle
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops.pallas_matmul import modmatmul_pallas, supported
+
+    for p in (100003, 16777213, 2147483629, 2147483647):
+        f = field(p)
+        assert supported(f)
+        a = jnp.asarray(f.rand((160, 192), rng).astype(np.int32))
+        b = jnp.asarray(f.rand((192, 130), rng).astype(np.int32))
+        want = f.normalize(
+            np.asarray(a).astype(object) @ np.asarray(b).astype(object))
+        got = np.asarray(modmatmul_pallas(f, a, b))
+        np.testing.assert_array_equal(got, want)
