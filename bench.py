@@ -2,10 +2,13 @@
 """Headline benchmark: rank of a random sparse 10k x 10k matrix over
 GF(42013) at density 1e-3 (BASELINE.json config #2), end-to-end through the
 public API on whatever jax backend is present (the real TPU chip under the
-driver).
+driver).  A structured homology case (boundary matrix of the full simplex,
+the reference's real domain — GL7d/relat-class stand-in) is measured too
+and reported in the detail payload.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": nnz/s, "unit": "nnz/s", "vs_baseline": ratio}
+  {"metric": ..., "value": nnz/s, "unit": "nnz/s", "vs_baseline": ratio,
+   "detail": {..., "structured": {...}}}
 
 vs_baseline normalizes against BASELINE.md's north-star target (10x an
 estimated 1e6 nnz/s SpaSM single-core rate => 1.0 means target met).  The
@@ -13,9 +16,11 @@ reference publishes no numbers of its own (BASELINE.md), and its CLI tools
 are not available in this environment to measure directly.
 """
 
+import itertools
 import json
 import sys
 import time
+from math import comb
 
 import numpy as np
 
@@ -27,6 +32,22 @@ N = 10_000
 DENSITY = 1e-3
 SEED = 20240816
 TARGET_NNZ_PER_S = 10e6  # north-star: 10x est. 1M nnz/s single-core SpaSM
+BOUNDARY_N, BOUNDARY_K = 18, 5  # 18564 x 8568, 111384 nnz, rank C(17,5)
+
+
+def boundary(n, k, p=42013):
+    """k-th boundary matrix of the full simplex on n vertices (exact rank
+    C(n-1, k)) — the homology-domain structured case."""
+    rows = list(itertools.combinations(range(n), k + 1))
+    cols = {c: i for i, c in enumerate(itertools.combinations(range(n), k))}
+    ii, jj, vv = [], [], []
+    for ri, face in enumerate(rows):
+        for t in range(k + 1):
+            ii.append(ri)
+            jj.append(cols[face[:t] + face[t + 1:]])
+            vv.append((-1) ** t)
+    return st.SparseGFp.from_coo(st.field(p), len(rows), len(cols),
+                                 ii, jj, vv)
 
 
 def main():
@@ -42,14 +63,29 @@ def main():
     t0 = time.time()
     r = st.rank(A)
     wall = time.time() - t0
-
     value = A.nnz / wall
+
+    B = boundary(BOUNDARY_N, BOUNDARY_K)
+    t0 = time.time()
+    rb = st.rank(B)
+    wall_b = time.time() - t0
+    assert rb == comb(BOUNDARY_N - 1, BOUNDARY_K), rb
+
     print(json.dumps({
         "metric": f"rank {N}x{N} d={DENSITY} mod 42013 throughput",
         "value": round(value, 1),
         "unit": "nnz/s",
         "vs_baseline": round(value / TARGET_NNZ_PER_S, 4),
-        "detail": {"rank": r, "nnz": A.nnz, "wall_s": round(wall, 3)},
+        "detail": {
+            "rank": r, "nnz": A.nnz, "wall_s": round(wall, 3),
+            "structured": {
+                "case": f"simplex boundary d{BOUNDARY_K} on "
+                        f"{BOUNDARY_N} vertices",
+                "shape": list(B.shape), "nnz": B.nnz, "rank": rb,
+                "wall_s": round(wall_b, 3),
+                "nnz_per_s": round(B.nnz / wall_b, 1),
+            },
+        },
     }))
 
 

@@ -20,9 +20,22 @@ src/SpaSM.jl:345-353):
 ``factorization_verify`` is the Freivalds check of A == L @ U
 (``spasm_factorization_verify``, src/SpaSM.jl:936).
 
-Note: the exact C bitstream of the reference's PRNG is not reproduced (the
-C sources are not part of the wrapper repo); the construction is specified
-independently here and is self-consistent across create/verify/save/load.
+Bitstream compatibility with the reference's C PRNG: the wrapper quotes
+the full ``spasm_prng_ctx`` layout (src/SpaSM.jl:355-372) —
+``block[11]`` u32s with ``block[0:8] == H(matrix)``, ``block[8] = prime``,
+``block[9] = counter``, ``block[10] = seq`` — and we reproduce exactly
+that 44-byte counter-mode block here (see SpasmPRNG).  Three details are
+NOT derivable from the quoted layout and are inferred (libspasm's C
+sources and binaries are not present in this environment to check a
+byte-for-byte match): (1) the memory endianness of the non-hash words
+(we use little-endian, the x86/TPU-host native layout the struct would
+have); (2) the output word convention for ``hash[8]`` (we use the SHA-256
+state words, i.e. big-endian interpretation of the digest bytes); (3) the
+rejection-sampling loop of ``spasm_prng_ZZp`` (we draw ``u32 & mask``
+until ``< prime``).  Certificates remain self-consistent across
+create/verify/save/load either way, and the protocol matches the
+reference's; cross-verification of reference-produced certificate FILES
+can only be confirmed once a libspasm build is available.
 """
 
 from __future__ import annotations
@@ -46,8 +59,12 @@ class SpasmPRNG:
 
     def __init__(self, seed: bytes, prime: int, seq: int = 0):
         assert len(seed) == 32
-        self.base = seed + struct.pack("<QI", prime, seq)
+        # the documented ctx block: H(matrix) | prime | counter | seq,
+        # 11 u32 words = 44 bytes (src/SpaSM.jl:362-364); counter is
+        # spliced in per refill
+        self.seed = seed
         self.prime = prime
+        self.seq = seq
         # mask = 2**i - 1 with i the smallest such that 2**i > prime
         i = max(1, int(prime).bit_length())
         if (1 << i) <= prime:
@@ -63,10 +80,13 @@ class SpasmPRNG:
                    prime, seq)
 
     def _refill(self):
-        digest = hashlib.sha256(
-            self.base + struct.pack("<I", self.counter)).digest()
+        block = self.seed + struct.pack(
+            "<III", self.prime & 0xFFFFFFFF, self.counter,
+            self.seq & 0xFFFFFFFF)
+        digest = hashlib.sha256(block).digest()
         self.counter += 1
-        self.buf.extend(struct.unpack("<8I", digest))
+        # hash[8] state words == big-endian digest words
+        self.buf.extend(struct.unpack(">8I", digest))
 
     def u32(self) -> int:
         if not self.buf:

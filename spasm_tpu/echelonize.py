@@ -872,7 +872,21 @@ def _gplu_finish(f: Field, S, row_origin, r0, opts, L_parts):
     piv_cols_all = []
     piv_orig_all = []
     r_local = 0
+    # Each round harvests a maximal FL + greedy cycle-free set; the
+    # fractional-insertion greedy resolves cascade/chain tails within a
+    # round (see tests/test_echelonize.py::test_adversarial_cascade_tail),
+    # so the loop runs O(DAG-depth / greedy-cap) rounds, not O(n).  The
+    # cap below is a safety valve: it cannot trigger on the structures the
+    # greedy handles, and if an unforeseen shape ever degrades to
+    # one-pivot rounds we log loudly instead of looping quietly.
+    round_cap = 64 + 2 * (min(n_s, m) // 4096 + 1)
+    rounds_done = 0
     while S.shape[0] and S.nnz:
+        rounds_done += 1
+        if rounds_done == round_cap:
+            log(f"[echelonize/GPLU] WARNING: {rounds_done} rounds and "
+                "still unfinished — pathological pivot structure; "
+                "continuing (progress is guaranteed, >= 1 pivot/round)")
         Sw = SparseGFp.from_scipy(S, f.p, assume_canonical=True)
         prows, pcols, _ = find_structural_pivots(Sw, enable_greedy=True)
         assert prows.size > 0, "FL must find a pivot in a nonzero matrix"
