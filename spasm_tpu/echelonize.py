@@ -69,7 +69,11 @@ class EchelonizeOptions:
     # when nnz >= device_rounds_min_nnz; True forces (tests), False
     # disables.  Requires opts.L == False.
     device_rounds: "str | bool" = "auto"
-    device_rounds_min_nnz: int = 20_000
+    # Measured on v5e (axon link): each resident round costs ~1 link sync;
+    # host scipy rounds beat that up to millions of nnz (random 10k/1e-3:
+    # host 1.9s vs resident 5.9s warm), so the auto gate only engages where
+    # per-round host SpGEMM work dominates the sync latency.
+    device_rounds_min_nnz: int = 5_000_000
 
 
 def parse_echelonize_opts(opts=None, **kwargs) -> EchelonizeOptions:
