@@ -727,6 +727,15 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
 
     bs_b = dense_ops._bucket(bs)
     na_b = dense_ops._bucket(na)
+    # low-rank mode == tall-and-skinny mode in the reference; only there
+    # does the loop need per-block rank readbacks (to detect a dry tail),
+    # which rules out the single-dispatch fused finish below.
+    low_rank_possible = (opts.enable_tall_and_skinny and not opts.L
+                         and n_s > opts.tall_and_skinny_ratio * na)
+    n_pad = -(-n_s // bs_b) * bs_b
+    if not low_rank_possible and n_pad * na_b <= dense_ops.FUSED_BUDGET:
+        return _fused_device_finish(f, n_s, na, na_b, bs_b, rows_all,
+                                    cols_all, vals_all)
     # rank can never exceed min(rows, cols); preallocate once
     cap = dense_ops._bucket(min(n_s, na)) + bs_b
     Ud = jnp.zeros((cap, na_b), jnp.int32)
@@ -756,12 +765,8 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
             dry_blocks += 1
         return new_rank == 0
 
-    # low-rank mode == tall-and-skinny mode in the reference; only there
-    # does the loop need per-block rank readbacks (to detect a dry tail).
-    # Otherwise ALL metadata reads are deferred past the loop, so the
-    # device pipeline runs sync-free.
-    low_rank_possible = (opts.enable_tall_and_skinny and not opts.L
-                         and n_s > opts.tall_and_skinny_ratio * na)
+    # In low-rank mode the loop reads back each block's rank; otherwise
+    # ALL metadata reads are deferred past the loop (sync-free pipeline).
     deferred = []
     b0 = 0
     while b0 < n_s:
@@ -815,6 +820,54 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
     if r_d == 0:
         return None
     nnz_d = dense_ops.count_nonzero_device(Ud)
+    ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
+    er, ec, ev = (np.asarray(x) for x in dense_ops.extract_sparse(Ud, ecap))
+    keep = (er >= 0) & (er < r_d) & (ec < na)
+    Usp = sp.csr_matrix(
+        (ev[keep].astype(np.int64), (er[keep], ec[keep])),
+        shape=(r_d, na))
+    return (Usp, np.array(piv_cols_loc, np.int64),
+            np.array(piv_rows_glob, np.int64))
+
+
+def _fused_device_finish(f, n_s, na, na_b, bs, rows_all, cols_all,
+                         vals_all):
+    """Single-dispatch dense finish: the entire block loop runs inside one
+    jitted ``dense_ops.fused_blocked_finish`` call (device-resident
+    ``lax.while_loop``), then exactly two readbacks — per-block pivot
+    metadata, and the sparse extraction of the accumulated U.  Removes the
+    per-block dispatch + link latency of the streaming loop (which remains
+    for the low-rank / over-budget cases)."""
+    import jax.numpy as jnp
+
+    n_pad = -(-n_s // bs) * bs
+    nnz = rows_all.size
+    ncap = max(512, 1 << int(max(1, nnz - 1)).bit_length())
+    ri = np.pad(rows_all.astype(np.int32), (0, ncap - nnz))
+    ci = np.pad(cols_all.astype(np.int32), (0, ncap - nnz))
+    vi = np.pad(vals_all.astype(np.int32), (0, ncap - nnz))
+    Ud, pc_map, r_d_dev, ranks, prows, pcols = (
+        dense_ops.fused_blocked_finish(
+            f, (n_pad, na_b), na, bs, dense_ops.DEFAULT_PANEL,
+            jnp.asarray(ri), jnp.asarray(ci), jnp.asarray(vi)))
+    for arr in (ranks, prows, pcols):
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - non-jax backends
+            pass
+    nnz_d = dense_ops.count_nonzero_device(Ud)
+    ranks = np.asarray(ranks)
+    prows = np.asarray(prows)
+    pcols = np.asarray(pcols)
+    piv_cols_loc: list[int] = []
+    piv_rows_glob: list[int] = []
+    for b in np.flatnonzero(ranks):
+        k = int(ranks[b])
+        piv_cols_loc.extend(pcols[b, :k].tolist())
+        piv_rows_glob.extend((b * bs + prows[b, :k]).tolist())
+    r_d = len(piv_cols_loc)
+    if r_d == 0:
+        return None
     ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
     er, ec, ev = (np.asarray(x) for x in dense_ops.extract_sparse(Ud, ecap))
     keep = (er >= 0) & (er < r_d) & (ec < na)

@@ -260,6 +260,77 @@ def blocked_finish_step(f: Field, shape, panel: int,
     return Ud, pc_map, r_d + new_rank, new_rank, prow_of, pcol_of
 
 
+# element-count cap for the single-dispatch fused finish: the densified
+# matrix (n_pad x na) must stay comfortably inside HBM next to the U panel
+# and matmul transients (3e8 int32 elements = 1.2 GB)
+FUSED_BUDGET = 300_000_000
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def fused_blocked_finish(f: Field, shape, npiv: int, bs: int, panel: int,
+                         rows, cols, vals):
+    """The entire blocked dense finish in ONE device dispatch: densify the
+    COO once, then a device-resident loop over row blocks — eliminate the
+    block against the accumulated mutual-RREF panel (one MXU matmul),
+    Jordan-RREF the block, back-eliminate the panel and append.  Same math
+    as ``blocked_finish_step`` (which remains the streaming / low-rank
+    variant); fusing the block loop removes the per-block dispatch + link
+    latency that dominates wall time over the tunneled device link.
+
+    shape = (n_pad, na) static with n_pad a multiple of bs; npiv <= na is
+    the true (unpadded) column count — only those columns can hold pivots,
+    and once they all do the block loop exits early.  Returns
+    (Ud, pc_map, r_d, ranks, prows, pcols): Ud stays resident for sparse
+    extraction; ranks/prows/pcols are (nblocks,)/(nblocks, bs) per-block
+    pivot metadata (slot order = pivot-column order within the block).
+    """
+    n_pad, na = shape
+    nblocks = n_pad // bs
+    nmax = min(bs, npiv)
+    cap = _bucket(min(n_pad, npiv)) + bs
+    X = jnp.zeros((n_pad, na), jnp.int32).at[rows, cols].add(vals)
+
+    def body(carry):
+        b, Ud, pc_map, r_d, ranks, prows, pcols = carry
+        Xb = jax.lax.dynamic_slice(X, (b * bs, 0), (bs, na))
+        coeff = Xb[:, pc_map]  # empty slots hit zero Ud rows
+        Xb = modmul.sub(f, Xb, modmatmul(f, coeff, Ud))
+        R, new_rank, prow_of, pcol_of, _ = rref_inplace(f, Xb, npiv, panel)
+        if nmax < bs:
+            prow_of = jnp.pad(prow_of, (0, bs - nmax), constant_values=-1)
+            pcol_of = jnp.pad(pcol_of, (0, bs - nmax), constant_values=-1)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0)[:, 0]
+        live = slot < new_rank
+        gather = jnp.where(live, jnp.clip(prow_of[:bs], 0, bs - 1), 0)
+        newU = jnp.where(live[:, None], R[gather, :], 0)
+        npc = jnp.where(live, jnp.clip(pcol_of[:bs], 0, na - 1), 0)
+        co = jnp.where(live[None, :], Ud[:, npc], 0)
+        Ud = modmul.sub(f, Ud, modmatmul(f, co, newU))
+        Ud = jax.lax.dynamic_update_slice(Ud, newU, (r_d, 0))
+        pc_map = jax.lax.dynamic_update_slice(
+            pc_map, jnp.where(live, npc, 0), (r_d,))
+        ranks = ranks.at[b].set(new_rank)
+        prows = prows.at[b].set(prow_of[:bs])
+        pcols = pcols.at[b].set(pcol_of[:bs])
+        return b + 1, Ud, pc_map, r_d + new_rank, ranks, prows, pcols
+
+    def cond(carry):
+        b, _, _, r_d, _, _, _ = carry
+        # once every true column holds a pivot no later block contributes
+        return jnp.logical_and(b < nblocks, r_d < npiv)
+
+    init = (jnp.int32(0),
+            jnp.zeros((cap, na), jnp.int32),
+            jnp.zeros((cap,), jnp.int32),
+            jnp.int32(0),
+            jnp.zeros((nblocks,), jnp.int32),
+            jnp.zeros((nblocks, bs), jnp.int32),
+            jnp.zeros((nblocks, bs), jnp.int32))
+    _, Ud, pc_map, r_d, ranks, prows, pcols = jax.lax.while_loop(
+        cond, body, init)
+    return Ud, pc_map, r_d, ranks, prows, pcols
+
+
 def _bucket(x: int) -> int:
     """Bucket device shapes so the jitted kernel compiles once per bucket:
     powers of two up to 1024, then multiples of 1024 (the n*m^2 elimination

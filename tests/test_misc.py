@@ -108,6 +108,11 @@ def test_device_blocked_finish(rng, monkeypatch):
     # with L factor
     f_devL = echelonize(A, max_round=0, dense_block_size=32, L=True)
     assert f_devL.L @ f_devL.U == A
+    # over-budget fallback: the streaming per-block loop
+    monkeypatch.setattr(D, "FUSED_BUDGET", 1)
+    f_str = echelonize(A, max_round=0, dense_block_size=32)
+    assert f_str.r == f_host.r
+    assert rref_of_U(f_str) == rref_of_U(f_host)
 
 
 def test_schur_density_estimate(rng):
