@@ -300,7 +300,8 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                 S_new = S_new.to_scipy()
         if S_new is None:  # host waves (also the overflow fallback)
             S_new, C = wave_eliminate(f, Upart, pcols, levels_blk, S_rest,
-                                      record_coeffs=opts.L)
+                                      record_coeffs=opts.L,
+                                      assume_canonical=True)
         dens = S_new.nnz / max(1, S_new.shape[0] * S_new.shape[1])
         log(f"Schur complement: {S_new.shape[0]} * {S_new.shape[1]} "
             f"[{S_new.nnz} nz / density= {dens:.3f}], "
@@ -591,7 +592,8 @@ def schur_estimate_density(f: Field, U_sp, piv_cols, levels, S_rest,
         rng = np.random.default_rng(0) if rng is None else rng
         rows = rng.choice(q, size=samples, replace=False)
         sample = S_rest[np.sort(rows)]
-    out, _ = wave_eliminate(f, U_sp, piv_cols, levels, sample)
+    out, _ = wave_eliminate(f, U_sp, piv_cols, levels, sample,
+                            assume_canonical=True)
     return out.nnz / max(1, out.shape[0] * m)
 
 
@@ -960,7 +962,8 @@ def _gplu_finish(f: Field, S, row_origin, r0, opts, L_parts):
         rest_mask[prows] = False
         rest_rows = np.flatnonzero(rest_mask)
         S_new, C = wave_eliminate(f, Upart, pcols, levels_blk, S[rest_rows],
-                                  record_coeffs=opts.L)
+                                  record_coeffs=opts.L,
+                                  assume_canonical=True)
         if opts.L:
             L_parts.append((row_origin[prows],
                             r0 + r_local + np.arange(npiv), piv_vals))

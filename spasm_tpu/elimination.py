@@ -87,22 +87,27 @@ def topo_order(U, piv_cols):
 
 
 def wave_eliminate(f: Field, U_sp, piv_cols, levels, B_sp,
-                   record_coeffs=False):
+                   record_coeffs=False, assume_canonical=False):
     """Eliminate all pivot columns from the rows of B.
 
     U_sp: scipy csr (r x m) pivot rows, unit pivots at piv_cols, in
     elimination order.  B_sp: scipy csr (q x m).  Returns (B', C) with
     B' = B - C @ U (mod p) having zero in every pivot column; C is (q x r)
-    if record_coeffs else None.
+    if record_coeffs else None.  assume_canonical skips the entry
+    re-reduction when B is already balanced/sorted (round-loop S slices).
     """
     q = B_sp.shape[0]
     r = U_sp.shape[0]
     piv_cols = np.asarray(piv_cols, dtype=np.int64)
-    B = mod_reduce(B_sp, f)
+    B = sp.csr_matrix(B_sp) if assume_canonical else mod_reduce(B_sp, f)
     coeff_parts = []
     if r == 0:
         return B, (sp.csr_matrix((q, 0), dtype=np.int64)
                    if record_coeffs else None)
+    # one reduction per wave: B - Ct@U stays exact in int64 as long as the
+    # contraction width |kt| obeys the safe_spgemm bound
+    half = max(1, f.halfp)
+    safe_k = max(1, (1 << 62) // (half * half)) - 1
     depth = int(levels.max()) + 1
     for t in range(depth):
         kt = np.flatnonzero(levels == t)
@@ -111,7 +116,10 @@ def wave_eliminate(f: Field, U_sp, piv_cols, levels, B_sp,
         Ct = B[:, piv_cols[kt]]  # (q, |kt|) — coefficients, final at level t
         Ct = sp.csr_matrix(Ct)
         if Ct.nnz:
-            B = mod_reduce(B - safe_spgemm(f, Ct, U_sp[kt]), f)
+            if kt.size <= safe_k:
+                B = mod_reduce(B - Ct @ U_sp[kt], f)
+            else:
+                B = mod_reduce(B - safe_spgemm(f, Ct, U_sp[kt]), f)
         if record_coeffs:
             # scatter Ct's columns into global pivot coordinates
             Ct = Ct.tocoo()

@@ -71,6 +71,11 @@ class Field:
         """Map arbitrary integers into the balanced range [mhalfp, halfp].
 
         Semantics of ``_normalize`` + ``mod`` (src/SpaSM.jl:83-97).
+
+        (A division-free float-Barrett variant was measured here and
+        reverted: on this host ``np.mod``'s constant-divisor path plus one
+        ``np.where`` beats the multiply/round/fold chain once the balanced
+        folds are counted.)
         """
         x = np.asarray(x)
         if x.dtype.kind not in "iu" and x.dtype != object:

@@ -21,6 +21,25 @@ def test_normalize_matches_oracle(p, rng):
     np.testing.assert_array_equal(f.normalize(xs), want)
 
 
+@pytest.mark.parametrize("p", PRIMES + [4294967291])
+def test_normalize_barrett_magnitude_sweep(p, rng):
+    """The float-Barrett fast path (|x| < 2**61) must agree with the
+    big-int oracle at every magnitude scale, including the fallback edge
+    (|x| >= 2**61 -> np.mod path) and exact multiples of p."""
+    f = Field(p)
+    parts = [rng.integers(-(2**k), 2**k, size=200)
+             for k in (8, 20, 34, 48, 60)]
+    parts.append(rng.integers(-(2**62), 2**62, size=200))  # fallback path
+    mults = rng.integers(-(2**30), 2**30, size=50) * p  # exact zeros
+    edges = np.array([0, 1, -1, p, -p, p // 2, -(p // 2),
+                      (1 << 61) - 1, -(1 << 61) + 1, (1 << 61), -(1 << 61)])
+    xs = np.concatenate(parts + [mults, edges])
+    want = np.array([balanced_oracle(p, int(x)) for x in xs])
+    got = f.normalize(xs)
+    np.testing.assert_array_equal(got, want)
+    assert got.min() >= f.mhalfp and got.max() <= f.halfp
+
+
 @pytest.mark.parametrize("p", PRIMES)
 def test_host_ops(p, rng):
     f = Field(p)
