@@ -510,12 +510,7 @@ def _dense_finish_from_device(f: Field, res, row_origin, opts, m):
     r_d = len(piv_cols_loc)
     if r_d == 0:
         return None
-    nnz_d = dense_ops.count_nonzero_device(Ud)
-    ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
-    er, ec, ev = (np.asarray(x) for x in dense_ops.extract_sparse(Ud, ecap))
-    keep = (er >= 0) & (er < r_d) & (ec < na)
-    Usp = sp.csr_matrix(
-        (ev[keep].astype(np.int64), (er[keep], ec[keep])), shape=(r_d, m))
+    Usp = dense_ops.extract_u_csr(Ud, pc_map, r_d, na, piv_cols_loc)
     log(f"[echelonize/dense] done, {r_d} pivots")
     orig_of = np.asarray(orig_of_d).astype(np.int64)
     porig = row_origin[orig_of[np.asarray(piv_rows_glob, np.int64)]]
@@ -821,13 +816,7 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
     r_d = len(piv_cols_loc)
     if r_d == 0:
         return None
-    nnz_d = dense_ops.count_nonzero_device(Ud)
-    ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
-    er, ec, ev = (np.asarray(x) for x in dense_ops.extract_sparse(Ud, ecap))
-    keep = (er >= 0) & (er < r_d) & (ec < na)
-    Usp = sp.csr_matrix(
-        (ev[keep].astype(np.int64), (er[keep], ec[keep])),
-        shape=(r_d, na))
+    Usp = dense_ops.extract_u_csr(Ud, pc_map, r_d, na, piv_cols_loc)
     return (Usp, np.array(piv_cols_loc, np.int64),
             np.array(piv_rows_glob, np.int64))
 
@@ -857,7 +846,6 @@ def _fused_device_finish(f, n_s, na, na_b, bs, rows_all, cols_all,
             arr.copy_to_host_async()
         except AttributeError:  # pragma: no cover - non-jax backends
             pass
-    nnz_d = dense_ops.count_nonzero_device(Ud)
     ranks = np.asarray(ranks)
     prows = np.asarray(prows)
     pcols = np.asarray(pcols)
@@ -870,12 +858,7 @@ def _fused_device_finish(f, n_s, na, na_b, bs, rows_all, cols_all,
     r_d = len(piv_cols_loc)
     if r_d == 0:
         return None
-    ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
-    er, ec, ev = (np.asarray(x) for x in dense_ops.extract_sparse(Ud, ecap))
-    keep = (er >= 0) & (er < r_d) & (ec < na)
-    Usp = sp.csr_matrix(
-        (ev[keep].astype(np.int64), (er[keep], ec[keep])),
-        shape=(r_d, na))
+    Usp = dense_ops.extract_u_csr(Ud, pc_map, r_d, na, piv_cols_loc)
     return (Usp, np.array(piv_cols_loc, np.int64),
             np.array(piv_rows_glob, np.int64))
 
