@@ -30,7 +30,8 @@ import numpy as np
 import scipy.sparse as sp
 
 from .csr import SparseGFp
-from .elimination import compute_levels, wave_eliminate
+from .elimination import (compute_levels, eliminate_against_reduced,
+                          mutual_reduce, wave_eliminate)
 from .field import Field
 from .ops import dense as dense_ops
 from .pivots import find_structural_pivots
@@ -288,6 +289,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             force_dense = True
             break
         S_new = C = None
+        ok = False  # reduced-block flag (host path sets it)
         use_device_sparse = (
             not opts.L
             and ((mesh is not None)
@@ -298,17 +300,32 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                                          levels_blk, S_rest)
             if S_new is not None:
                 S_new = S_new.to_scipy()
-        if S_new is None:  # host waves (also the overflow fallback)
-            S_new, C = wave_eliminate(f, Upart, pcols, levels_blk, S_rest,
-                                      record_coeffs=opts.L,
-                                      assume_canonical=True)
+        if S_new is None:  # host path (also the overflow fallback)
+            # mutual-reduce the round's pivot block once (backward sweep
+            # over npiv rows), then the Schur update of the q >> npiv
+            # remaining rows is a single product (elimination.py).  Not
+            # when an L factor is requested: against a reduced block the
+            # original pivot rows' coefficients hit LATER pivots, which
+            # breaks the permuted-triangular L the solves substitute
+            # through (solve.py `_solve_triangular_Lp`).
+            if not opts.L:
+                Ustar, ok = mutual_reduce(f, Upart, pcols, levels_blk)
+            if ok:
+                S_new, C = eliminate_against_reduced(
+                    f, Ustar, pcols, S_rest, assume_canonical=True)
+                Upart = Ustar  # store the reduced block as U (valid
+                # echelon form)
+            else:  # L requested or fill blow-up guard: wave cascade
+                S_new, C = wave_eliminate(f, Upart, pcols, levels_blk,
+                                          S_rest, record_coeffs=opts.L,
+                                          assume_canonical=True)
         dens = S_new.nnz / max(1, S_new.shape[0] * S_new.shape[1])
         log(f"Schur complement: {S_new.shape[0]} * {S_new.shape[1]} "
             f"[{S_new.nnz} nz / density= {dens:.3f}], "
             f"{wtime() - t0:.1f}s")
 
         if opts.L:
-            # pivot rows: a_orig = pivot_val * u_k  (self coefficient)
+            # pivot rows: a_orig = pivot_val * u_k (self coefficient)
             L_parts.append((row_origin[prows], r + np.arange(npiv),
                             piv_vals))
             Cc = C.tocoo()
@@ -944,9 +961,17 @@ def _gplu_finish(f: Field, S, row_origin, r0, opts, L_parts):
         rest_mask = np.ones(S.shape[0], bool)
         rest_mask[prows] = False
         rest_rows = np.flatnonzero(rest_mask)
-        S_new, C = wave_eliminate(f, Upart, pcols, levels_blk, S[rest_rows],
-                                  record_coeffs=opts.L,
-                                  assume_canonical=True)
+        ok = False
+        if not opts.L:
+            Ustar, ok = mutual_reduce(f, Upart, pcols, levels_blk)
+        if ok:
+            S_new, C = eliminate_against_reduced(
+                f, Ustar, pcols, S[rest_rows], assume_canonical=True)
+            Upart = Ustar
+        else:
+            S_new, C = wave_eliminate(f, Upart, pcols, levels_blk,
+                                      S[rest_rows], record_coeffs=opts.L,
+                                      assume_canonical=True)
         if opts.L:
             L_parts.append((row_origin[prows],
                             r0 + r_local + np.arange(npiv), piv_vals))

@@ -86,6 +86,76 @@ def topo_order(U, piv_cols):
     return np.array(out, np.int64)
 
 
+def mutual_reduce(f: Field, U_sp, piv_cols, levels, fill_cap: float = 16.0):
+    """Bring the pivot block into FULL MUTUAL REDUCED form: every row has
+    zero at every *other* pivot's column.  Against such a U*, eliminating
+    any row set B is a single product — B - B[:, piv_cols] @ U* — because
+    each coefficient is read directly off B (no cascade).  This is the
+    sparse analog of the dense finish's accumulated mutual-RREF panel
+    (ops/dense.py) and replaces a depth-deep wave cascade over the
+    (usually much larger) remaining-row set with a cascade over the r
+    pivot rows only, done once and reused.
+
+    Returns (Ustar, ok): ok=False when the reduced form exceeded
+    ``fill_cap`` x nnz(U) (fill blow-up — caller falls back to waves).
+    """
+    r, m = U_sp.shape
+    if r == 0:
+        return U_sp, True
+    piv_cols = np.asarray(piv_cols, np.int64)
+    depth = int(levels.max()) + 1
+    if depth <= 1:
+        return U_sp, True
+    order = np.argsort(levels, kind="stable")  # rows sorted by level
+    W = sp.csr_matrix(U_sp)[order]
+    lev_sorted = levels[order]
+    pc_sorted = piv_cols[order]
+    offs = np.searchsorted(lev_sorted, np.arange(depth + 1))
+    nnz_cap = max(1024, int(fill_cap * max(1, U_sp.nnz)))
+    half = max(1, f.halfp)
+    safe_k = max(1, (1 << 62) // (half * half)) - 1
+    # backward sweep: once level t is final, reduce all lower levels
+    # against it in one product
+    for t in range(depth - 1, 0, -1):
+        lo, hi = offs[t], offs[t + 1]
+        kt_cols = pc_sorted[lo:hi]
+        P = W[:lo]
+        Ct = sp.csr_matrix(P[:, kt_cols])
+        if Ct.nnz:
+            if kt_cols.size <= safe_k:
+                P = mod_reduce(P - Ct @ W[lo:hi], f)
+            else:
+                P = mod_reduce(P - safe_spgemm(f, Ct, W[lo:hi]), f)
+        W = sp.vstack([P, W[lo:]], format="csr")
+        if W.nnz > nnz_cap:
+            return U_sp, False
+    inv_order = np.argsort(order, kind="stable")
+    return W[inv_order], True
+
+
+def eliminate_against_reduced(f: Field, Ustar, piv_cols, B_sp,
+                              record_coeffs=False, assume_canonical=False):
+    """Single-wave elimination against a mutually reduced pivot block:
+    B' = B - B[:, piv_cols] @ Ustar (mod p).  Same contract as
+    wave_eliminate."""
+    q = B_sp.shape[0]
+    r = Ustar.shape[0]
+    piv_cols = np.asarray(piv_cols, np.int64)
+    B = sp.csr_matrix(B_sp) if assume_canonical else mod_reduce(B_sp, f)
+    if r == 0:
+        return B, (sp.csr_matrix((q, 0), dtype=np.int64)
+                   if record_coeffs else None)
+    C = sp.csr_matrix(B[:, piv_cols])
+    half = max(1, f.halfp)
+    safe_k = max(1, (1 << 62) // (half * half)) - 1
+    if C.nnz:
+        if r <= safe_k:
+            B = mod_reduce(B - C @ Ustar, f)
+        else:
+            B = mod_reduce(B - safe_spgemm(f, C, Ustar), f)
+    return B, (C if record_coeffs else None)
+
+
 def wave_eliminate(f: Field, U_sp, piv_cols, levels, B_sp,
                    record_coeffs=False, assume_canonical=False):
     """Eliminate all pivot columns from the rows of B.

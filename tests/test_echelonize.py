@@ -311,3 +311,51 @@ def test_adversarial_cascade_tail(rng):
     fact = echelonize(A, enable_dense=False, device_rounds=False)
     assert fact.r == n
     check_fact(A, fact)
+
+
+def test_mutual_reduce_single_wave(rng):
+    """mutual_reduce yields a block with no internal elimination edges and
+    identical single-product elimination results (elimination.py)."""
+    import scipy.sparse as sp
+
+    from spasm_tpu.elimination import (compute_levels,
+                                       eliminate_against_reduced,
+                                       mutual_reduce, pivot_graph_edges,
+                                       wave_eliminate)
+    from spasm_tpu.pivots import find_structural_pivots
+    from spasm_tpu.sputil import mod_reduce
+
+    f = field(42013)
+    A = SparseGFp.rand(f, 400, 300, 0.02, rng)
+    S = mod_reduce(A.to_scipy(), f)
+    Sw = SparseGFp.from_scipy(S, f.p, assume_canonical=True)
+    prows, pcols, _ = find_structural_pivots(Sw)
+    npiv = prows.size
+    U = sp.csr_matrix(S[prows])
+    pv = np.asarray(U[np.arange(npiv), pcols]).ravel().astype(np.int64)
+    row_of = np.repeat(np.arange(npiv), np.diff(U.indptr))
+    U.data = f.normalize(U.data * f.inv(pv)[row_of])
+    Uw = SparseGFp.from_scipy(U, f.p, assume_canonical=True)
+    levels = compute_levels(Uw, pcols)
+    assert levels.max() >= 1  # the case must actually exercise a cascade
+
+    Ustar, ok = mutual_reduce(f, U, pcols, levels)
+    assert ok
+    # no internal edges: every row zero at every other pivot column
+    Uw2 = SparseGFp.from_scipy(sp.csr_matrix(Ustar), f.p)
+    src, dst = pivot_graph_edges(Uw2, pcols)
+    assert src.size == 0
+    # unit pivots preserved
+    got_piv = np.asarray(sp.csr_matrix(Ustar)[np.arange(npiv),
+                                              pcols]).ravel()
+    np.testing.assert_array_equal(got_piv, np.ones(npiv))
+    # same row space: single-product elimination == wave cascade
+    rest = np.setdiff1d(np.arange(400), prows)
+    want, _ = wave_eliminate(f, U, pcols, levels, S[rest])
+    got, C = eliminate_against_reduced(f, Ustar, pcols, S[rest],
+                                       record_coeffs=True,
+                                       assume_canonical=True)
+    assert (want != got).nnz == 0
+    # B' == B - C @ Ustar exactly
+    recon = mod_reduce(S[rest] - C @ sp.csr_matrix(Ustar), f)
+    assert (recon != got).nnz == 0
