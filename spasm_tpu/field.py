@@ -62,8 +62,12 @@ class Field:
 
     @property
     def tier(self) -> str:
-        """Device arithmetic tier: 'a' = direct int32, 'b' = 16-bit split."""
-        return "a" if self.p <= _TIER_A_MAX_P else "b"
+        """Device arithmetic tier: 'a' = direct int32, 'b' = 16-bit split
+        in uint32 (p < 2**31), 'c' = wrap-aware uint32 residues for the
+        full reference range up to 2**32 - 5 (src/SpaSM.jl:74)."""
+        if self.p <= _TIER_A_MAX_P:
+            return "a"
+        return "b" if self.p <= (1 << 31) - 1 else "c"
 
     # ---------------- host (NumPy, always-exact) operations ----------------
 

@@ -106,3 +106,28 @@ def test_tier_b_pipeline_at_size(rng):
     from spasm_tpu.graphs import structural_rank
 
     assert r_host <= structural_rank(A)
+
+
+def test_tier_c_device_rref_pipeline(rng):
+    """Full-range prime (2**32 - 5, tier 'c') through the device dense
+    RREF machinery (XLA fallback panel; Pallas is tier-A-only) and the
+    public rank/kernel path."""
+    from spasm_tpu.ops import dense as dense_ops
+
+    p = 4294967291
+    f = field(p)
+    X = f.rand((96, 80), rng)
+    X[rng.random((96, 80)) > 0.3] = 0
+    out = dense_ops.rref(f, X, host_cutoff=0)  # force the device path
+    want = dense_ops._host_rref(f, X, False)
+    assert out["rank"] == want["rank"]
+    np.testing.assert_array_equal(out["piv_cols"], want["piv_cols"])
+    np.testing.assert_array_equal(out["R"][out["piv_rows"]],
+                                  want["R"][want["piv_rows"]])
+    A = SparseGFp.from_dense(X, p)
+    assert rank(A) == want["rank"]
+    K = kernel(A)
+    assert K.shape == (80 - want["rank"], 80)
+    prod = (A.to_dense().astype(object)
+            @ K.to_dense().T.astype(object)) % p
+    assert not prod.any()

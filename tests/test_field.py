@@ -183,3 +183,64 @@ def test_max_prime_int32_data(rng):
     from tests.test_echelonize import dense_rank_oracle
 
     assert r == dense_rank_oracle(p, A.to_dense())
+
+
+TIER_C_PRIMES = [2147483659, 4294967291]  # first prime > 2**31; 2**32 - 5
+
+
+@pytest.mark.parametrize("p", TIER_C_PRIMES)
+def test_device_tier_c_ops(p, rng):
+    """Full-range device arithmetic (tier 'c', src/SpaSM.jl:74): uint32
+    wrap-aware residues vs the always-exact host path."""
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops import modmul
+
+    f = Field(p)
+    assert f.tier == "c"
+    a = f.rand(1024, rng).astype(np.int32)
+    b = f.rand(1024, rng).astype(np.int32)
+    # force the extremes and wrap-prone combinations
+    a[:4] = [f.halfp, f.mhalfp, f.halfp, f.mhalfp]
+    b[:4] = [f.halfp, f.mhalfp, f.mhalfp, f.halfp]
+    aj, bj = jnp.array(a), jnp.array(b)
+    np.testing.assert_array_equal(np.asarray(modmul.add(f, aj, bj)),
+                                  f.add(a, b))
+    np.testing.assert_array_equal(np.asarray(modmul.sub(f, aj, bj)),
+                                  f.sub(a, b))
+    np.testing.assert_array_equal(np.asarray(modmul.mul(f, aj, bj)),
+                                  f.mul(a, b))
+    c = f.rand(1024, rng).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(modmul.axpy(f, aj, bj, jnp.array(c))), f.axpy(a, b, c))
+    # normalize of arbitrary int32
+    x = rng.integers(-(2**31), 2**31, 1024).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(modmul.normalize(f, jnp.array(x))), f.normalize(x))
+    # scalar inverse
+    got = int(np.asarray(modmul.inv_scalar(f, jnp.int32(a[5] or 1))))
+    assert f.mul(got, int(a[5] or 1)) == 1
+
+
+@pytest.mark.parametrize("p", TIER_C_PRIMES)
+def test_tier_c_limbs_and_matmul(p, rng):
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops import modmul
+    from spasm_tpu.ops.matmul import modmatmul_jit
+
+    f = Field(p)
+    nl = num_limbs(p)
+    xs = f.rand(1000, rng).astype(np.int32)
+    xs[0], xs[1] = f.halfp, f.mhalfp
+    limbs = np.asarray(modmul.to_limbs(f, jnp.array(xs), nl)).astype(
+        np.int64)
+    assert limbs.min() >= -128 and limbs.max() <= 127
+    recon = sum(limbs[:, i] * 256**i for i in range(nl))
+    np.testing.assert_array_equal(recon, xs)
+    a = f.rand((24, 50), rng)
+    b = f.rand((50, 16), rng)
+    want = f.normalize(a.astype(object) @ b.astype(object))
+    got = np.asarray(modmatmul_jit(f, jnp.array(a, jnp.int32),
+                                   jnp.array(b, jnp.int32)))
+    np.testing.assert_array_equal(got, want.astype(np.int64))
