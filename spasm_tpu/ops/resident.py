@@ -255,10 +255,12 @@ def device_echelon_rounds(f: Field, S, opts, max_round: int,
     """Run FL structural-pivot rounds fully on device.
 
     S: scipy csr (canonical, mod-reduced).  Returns None if the device
-    phase could not run (round-0 overflow), else a dict with
-    ``U`` (scipy csr, unit pivot rows in elimination order), ``pcols``,
-    ``prows`` (pivot row ids in S's numbering), ``S_rest`` (scipy csr,
-    same shape as S with pivot rows removed/empty), and ``rounds``.
+    phase could not run (round-0 overflow or a pool past the validated
+    size envelope — see EchelonizeOptions.device_rounds_max_pool), else a
+    dict with ``U`` (scipy csr, unit pivot rows in elimination order),
+    ``pcols``, ``prows`` (pivot row ids in S's numbering), ``S_rest``
+    (scipy csr, same shape as S with pivot rows removed/empty), and
+    ``rounds``.
     """
     import scipy.sparse as sp
 
@@ -267,6 +269,9 @@ def device_echelon_rounds(f: Field, S, opts, max_round: int,
     if nnz0 == 0 or n == 0:
         return None
     cap = _bucket_pow2(cap_factor * nnz0)
+    max_pool = getattr(opts, "device_rounds_max_pool", 1 << 22)
+    if max_pool and cap > max_pool:
+        return None  # untested envelope: host loop takes over
     cap_hits = max(1 << 12, cap // 16)
     if ku is None:
         max_len = int(np.diff(S.indptr).max()) if nnz0 else 1
