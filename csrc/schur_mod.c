@@ -1,0 +1,216 @@
+/* Exact sparse Schur update over GF(p):  D = B - C @ U  (mod p, balanced)
+ *
+ * The host-side hot loop of the multi-round echelonization: eliminating a
+ * row block against a (mutually reduced) pivot block is one fused
+ * product-subtract-reduce.  This is the framework's native equivalent of
+ * the reference's OpenMP scatter kernel (spasm_scatter.c / spasm_schur.c,
+ * see SURVEY.md 2.4) re-designed for our layout: per-row sparse
+ * accumulator (SPA) with stamp marking, contiguous per-thread row ranges
+ * balanced by nnz, deterministic output (row order preserved).
+ *
+ * Inputs are CSR with int64 indptr, int32 indices, int64 balanced data
+ * (|v| <= p/2).  Output is written into per-thread buffers the function
+ * mallocs; the caller copies and frees via spasm_tpu_free().
+ *
+ * Exactness: the fast path accumulates raw int64 products; it is chosen
+ * only when (worst-case terms per output) * (p/2)^2 < 2^62, which the
+ * caller guarantees by passing reduce_each = 0 only in that case.  With
+ * reduce_each = 1 every axpy is followed by a balanced reduction, keeping
+ * |acc| < p + (p/2)^2 <= 2^62 for every legal p <= 2^32 - 5.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+static inline int64_t balanced(int64_t x, int64_t P, int64_t halfp) {
+    int64_t r = x % P;
+    if (r > halfp)
+        r -= P;
+    else if (r < halfp - P + 1)
+        r += P;
+    return r;
+}
+
+void spasm_tpu_free(void *p) { free(p); }
+
+int spasm_tpu_cmp_i32(const void *a, const void *b);
+
+/* returns total output nnz, or -1 on allocation failure.
+ * outp: (q+1) int64 indptr (filled).
+ * out_j / out_x: *one* malloc'd buffer each (caller frees). */
+int64_t spasm_tpu_schur_update(
+    int64_t q, int64_t m, int64_t P, int64_t reduce_each,
+    const int64_t *Bp, const int32_t *Bj, const int64_t *Bx,
+    const int64_t *Cp, const int32_t *Cj, const int64_t *Cx,
+    const int64_t *Up, const int32_t *Uj, const int64_t *Ux,
+    int64_t *outp, int32_t **out_j_ret, int64_t **out_x_ret)
+{
+    const int64_t halfp = P / 2;
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+    if (nthreads > 16) nthreads = 16;
+    if ((int64_t)nthreads > q) nthreads = q > 0 ? (int)q : 1;
+    if (nthreads < 1) nthreads = 1;
+#endif
+    /* contiguous row ranges balanced by input work (nnz of B + expanded C) */
+    int64_t *work = (int64_t *)malloc(sizeof(int64_t) * (size_t)(q + 1));
+    if (!work) return -1;
+    work[0] = 0;
+    for (int64_t i = 0; i < q; i++) {
+        int64_t w = Bp[i + 1] - Bp[i];
+        for (int64_t t = Cp[i]; t < Cp[i + 1]; t++) {
+            int32_t k = Cj[t];
+            w += Up[k + 1] - Up[k];
+        }
+        work[i + 1] = work[i] + w + 1;
+    }
+    int64_t total_work = work[q];
+    int64_t *range = (int64_t *)malloc(sizeof(int64_t) * (size_t)(nthreads + 1));
+    if (!range) { free(work); return -1; }
+    range[0] = 0;
+    for (int t = 1; t < nthreads; t++) {
+        int64_t target = total_work * t / nthreads;
+        /* binary search first row with work >= target */
+        int64_t lo = range[t - 1], hi = q;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (work[mid] < target) lo = mid + 1; else hi = mid;
+        }
+        range[t] = lo;
+    }
+    range[nthreads] = q;
+    free(work);
+
+    int32_t **tj = (int32_t **)calloc((size_t)nthreads, sizeof(int32_t *));
+    int64_t **tx = (int64_t **)calloc((size_t)nthreads, sizeof(int64_t *));
+    int64_t *tn = (int64_t *)calloc((size_t)nthreads, sizeof(int64_t));
+    int fail = 0;
+    if (!tj || !tx || !tn) fail = 1;
+
+#pragma omp parallel num_threads(nthreads)
+    {
+#ifdef _OPENMP
+        int tid = omp_get_thread_num();
+#else
+        int tid = 0;
+#endif
+        if (!fail) {
+            int64_t r0 = range[tid], r1 = range[tid + 1];
+            /* sparse accumulator */
+            int64_t *x = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
+            int64_t *stamp = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
+            int32_t *touched = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
+            int64_t cap = 1024;
+            for (int64_t i = r0; i < r1; i++) {
+                int64_t w = Bp[i + 1] - Bp[i];
+                for (int64_t t = Cp[i]; t < Cp[i + 1]; t++)
+                    w += Up[Cj[t] + 1] - Up[Cj[t]];
+                cap += w;
+            }
+            int32_t *oj = (int32_t *)malloc(sizeof(int32_t) * (size_t)cap);
+            int64_t *ox = (int64_t *)malloc(sizeof(int64_t) * (size_t)cap);
+            if (!x || !stamp || !touched || !oj || !ox) {
+#pragma omp atomic write
+                fail = 1;
+            } else {
+                memset(stamp, 0xff, sizeof(int64_t) * (size_t)m);
+                int64_t nout = 0;
+                for (int64_t i = r0; i < r1; i++) {
+                    int64_t ntouch = 0;
+                    for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
+                        int32_t j = Bj[t];
+                        if (stamp[j] != i) {
+                            stamp[j] = i; x[j] = 0;
+                            touched[ntouch++] = j;
+                        }
+                        x[j] += Bx[t];
+                    }
+                    for (int64_t t = Cp[i]; t < Cp[i + 1]; t++) {
+                        int32_t k = Cj[t];
+                        int64_t c = Cx[t];
+                        if (reduce_each) {
+                            for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
+                                int32_t j = Uj[u];
+                                if (stamp[j] != i) {
+                                    stamp[j] = i; x[j] = 0;
+                                    touched[ntouch++] = j;
+                                }
+                                x[j] = balanced(x[j] - c * Ux[u], P, halfp);
+                            }
+                        } else {
+                            for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
+                                int32_t j = Uj[u];
+                                if (stamp[j] != i) {
+                                    stamp[j] = i; x[j] = 0;
+                                    touched[ntouch++] = j;
+                                }
+                                x[j] -= c * Ux[u];
+                            }
+                        }
+                    }
+                    /* deterministic output: sort touched column list */
+                    /* insertion would be O(t^2); rows touch few columns in
+                       sparse regimes but can be wide after fill — use a
+                       simple qsort on the touched slice */
+                    if (ntouch > 1)
+                        qsort(touched, (size_t)ntouch, sizeof(int32_t),
+                              spasm_tpu_cmp_i32);
+                    int64_t row_start = nout;
+                    for (int64_t t = 0; t < ntouch; t++) {
+                        int32_t j = touched[t];
+                        int64_t v = balanced(x[j], P, halfp);
+                        if (v) { oj[nout] = j; ox[nout] = v; nout++; }
+                    }
+                    outp[i + 1] = nout - row_start; /* counts; prefixed later */
+                }
+                tj[tid] = oj; tx[tid] = ox; tn[tid] = nout;
+                oj = NULL; ox = NULL;
+            }
+            free(x); free(stamp); free(touched);
+            if (oj) free(oj);
+            if (ox) free(ox);
+        }
+    }
+    if (fail) {
+        for (int t = 0; t < nthreads; t++) { free(tj[t]); free(tx[t]); }
+        free(tj); free(tx); free(tn); free(range);
+        return -1;
+    }
+    /* stitch: prefix the per-row counts into indptr, then copy thread
+       buffers into one output in row order */
+    outp[0] = 0;
+    for (int64_t i = 0; i < q; i++) outp[i + 1] += outp[i];
+    int64_t total = outp[q];
+    int32_t *all_j = (int32_t *)malloc(sizeof(int32_t) * (size_t)(total ? total : 1));
+    int64_t *all_x = (int64_t *)malloc(sizeof(int64_t) * (size_t)(total ? total : 1));
+    if (!all_j || !all_x) {
+        free(all_j); free(all_x);
+        for (int t = 0; t < nthreads; t++) { free(tj[t]); free(tx[t]); }
+        free(tj); free(tx); free(tn); free(range);
+        return -1;
+    }
+    for (int t = 0; t < nthreads; t++) {
+        int64_t dst = outp[range[t]];
+        if (tn[t]) {
+            memcpy(all_j + dst, tj[t], sizeof(int32_t) * (size_t)tn[t]);
+            memcpy(all_x + dst, tx[t], sizeof(int64_t) * (size_t)tn[t]);
+        }
+        free(tj[t]); free(tx[t]);
+    }
+    free(tj); free(tx); free(tn); free(range);
+    *out_j_ret = all_j;
+    *out_x_ret = all_x;
+    return total;
+}
+
+int spasm_tpu_cmp_i32(const void *a, const void *b)
+{
+    int32_t x = *(const int32_t *)a, y = *(const int32_t *)b;
+    return (x > y) - (x < y);
+}

@@ -59,8 +59,12 @@ class EchelonizeOptions:
     tall_and_skinny_ratio: float = 5.0
     low_rank_start_weight: float = -1.0
 
-    # TPU-specific knob: max dense elements for the device finish
-    dense_budget: int = 200_000_000
+    # TPU-specific knob: max dense elements for the device finish.
+    # None = auto: ~35% of the accelerator's memory limit in int32
+    # elements (the blocked finish holds the U panel (cap x na) plus one
+    # block and the matmul limb transients), floor 2e8 (the old fixed
+    # default, also the CPU/unknown-backend value).
+    dense_budget: "int | None" = None
     # TPU-specific: run the round Schur updates with the device-resident
     # sparse waves (ops/sparse_device) above this nnz; 0 disables.
     # Requires opts.L == False (coefficient recording stays on host).
@@ -89,7 +93,33 @@ def parse_echelonize_opts(opts=None, **kwargs) -> EchelonizeOptions:
         if not hasattr(opts, k):
             raise TypeError(f"unknown echelonize option {k!r}")
         setattr(opts, k, v)
+    if opts.dense_budget is None:
+        opts.dense_budget = _auto_dense_budget()
     return opts
+
+
+_AUTO_DENSE_BUDGET = None
+
+
+def _auto_dense_budget() -> int:
+    """dense_budget resolution: scale with the accelerator's memory limit
+    (cached; one query per process)."""
+    global _AUTO_DENSE_BUDGET
+    if _AUTO_DENSE_BUDGET is None:
+        budget = 200_000_000
+        try:
+            import jax
+
+            dev = jax.devices()[0]
+            if dev.platform != "cpu":
+                stats = dev.memory_stats() or {}
+                limit = stats.get("bytes_limit")
+                if limit:
+                    budget = max(budget, int(limit * 0.35) // 4)
+        except Exception:  # pragma: no cover - backend quirks
+            pass
+        _AUTO_DENSE_BUDGET = budget
+    return _AUTO_DENSE_BUDGET
 
 
 @dataclasses.dataclass

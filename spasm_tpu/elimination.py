@@ -112,8 +112,6 @@ def mutual_reduce(f: Field, U_sp, piv_cols, levels, fill_cap: float = 16.0):
     pc_sorted = piv_cols[order]
     offs = np.searchsorted(lev_sorted, np.arange(depth + 1))
     nnz_cap = max(1024, int(fill_cap * max(1, U_sp.nnz)))
-    half = max(1, f.halfp)
-    safe_k = max(1, (1 << 62) // (half * half)) - 1
     # backward sweep: once level t is final, reduce all lower levels
     # against it in one product
     for t in range(depth - 1, 0, -1):
@@ -122,10 +120,7 @@ def mutual_reduce(f: Field, U_sp, piv_cols, levels, fill_cap: float = 16.0):
         P = W[:lo]
         Ct = sp.csr_matrix(P[:, kt_cols])
         if Ct.nnz:
-            if kt_cols.size <= safe_k:
-                P = mod_reduce(P - Ct @ W[lo:hi], f)
-            else:
-                P = mod_reduce(P - safe_spgemm(f, Ct, W[lo:hi]), f)
+            P = _schur_update(f, P, Ct, sp.csr_matrix(W[lo:hi]))
         W = sp.vstack([P, W[lo:]], format="csr")
         if W.nnz > nnz_cap:
             return U_sp, False
@@ -146,14 +141,25 @@ def eliminate_against_reduced(f: Field, Ustar, piv_cols, B_sp,
         return B, (sp.csr_matrix((q, 0), dtype=np.int64)
                    if record_coeffs else None)
     C = sp.csr_matrix(B[:, piv_cols])
+    if C.nnz:
+        B = _schur_update(f, B, C, sp.csr_matrix(Ustar))
+    return B, (C if record_coeffs else None)
+
+
+def _schur_update(f: Field, B, C, U):
+    """D = B - C @ U (mod p, canonical csr): the fused OpenMP C kernel
+    (csrc/schur_mod.c — the host analog of the reference's scatter loop,
+    src/SpaSM.jl:619-621) with a scipy fallback."""
+    from .native import schur_update_native
+
+    D = schur_update_native(f, B, C, U)
+    if D is not None:
+        return D
     half = max(1, f.halfp)
     safe_k = max(1, (1 << 62) // (half * half)) - 1
-    if C.nnz:
-        if r <= safe_k:
-            B = mod_reduce(B - C @ Ustar, f)
-        else:
-            B = mod_reduce(B - safe_spgemm(f, C, Ustar), f)
-    return B, (C if record_coeffs else None)
+    if C.shape[1] <= safe_k:
+        return mod_reduce(B - C @ U, f)
+    return mod_reduce(B - safe_spgemm(f, C, U), f)
 
 
 def wave_eliminate(f: Field, U_sp, piv_cols, levels, B_sp,
@@ -174,10 +180,6 @@ def wave_eliminate(f: Field, U_sp, piv_cols, levels, B_sp,
     if r == 0:
         return B, (sp.csr_matrix((q, 0), dtype=np.int64)
                    if record_coeffs else None)
-    # one reduction per wave: B - Ct@U stays exact in int64 as long as the
-    # contraction width |kt| obeys the safe_spgemm bound
-    half = max(1, f.halfp)
-    safe_k = max(1, (1 << 62) // (half * half)) - 1
     depth = int(levels.max()) + 1
     for t in range(depth):
         kt = np.flatnonzero(levels == t)
@@ -186,10 +188,7 @@ def wave_eliminate(f: Field, U_sp, piv_cols, levels, B_sp,
         Ct = B[:, piv_cols[kt]]  # (q, |kt|) — coefficients, final at level t
         Ct = sp.csr_matrix(Ct)
         if Ct.nnz:
-            if kt.size <= safe_k:
-                B = mod_reduce(B - Ct @ U_sp[kt], f)
-            else:
-                B = mod_reduce(B - safe_spgemm(f, Ct, U_sp[kt]), f)
+            B = _schur_update(f, B, Ct, sp.csr_matrix(U_sp[kt]))
         if record_coeffs:
             # scatter Ct's columns into global pivot coordinates
             Ct = Ct.tocoo()

@@ -1,10 +1,16 @@
 """Loader for the framework's native (C) components.
 
-The hot host-side path worth native code is SMS parsing (SURVEY.md
-section 7: "C++ only where host-native speed is irreplaceable").  The
-shared library is compiled on first use from csrc/ into a per-user cache
-keyed by a source hash; everything degrades gracefully to the NumPy
-implementations if no compiler is available.
+Host-side paths worth native code (SURVEY.md section 7: "C++ only where
+host-native speed is irreplaceable"):
+
+* ``sms_parser.c`` — SMS text tokenizer;
+* ``schur_mod.c`` — the OpenMP fused Schur update D = B - C @ U (mod p),
+  the host analog of the reference's scatter/schur hot loop
+  (src/SpaSM.jl:619-621, 758-770), used by the elimination waves.
+
+Each shared library is compiled on first use from csrc/ into a per-user
+cache keyed by a source hash; everything degrades gracefully to the
+NumPy/scipy implementations if no compiler is available.
 """
 
 from __future__ import annotations
@@ -19,43 +25,50 @@ import numpy as np
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "csrc")
-_lib = None
-_tried = False
+_libs: dict = {}
 
 
-def _build_and_load():
-    src = os.path.join(_CSRC, "sms_parser.c")
+def _build(name: str, extra_flags=()):
+    src = os.path.join(_CSRC, name + ".c")
     with open(src, "rb") as fh:
         tag = hashlib.sha256(fh.read()).hexdigest()[:16]
     cache = os.path.join(os.path.expanduser("~/.cache/spasm_tpu_native"))
     os.makedirs(cache, exist_ok=True)
-    sofile = os.path.join(cache, f"sms_parser_{tag}.so")
+    sofile = os.path.join(cache, f"{name}_{tag}.so")
     if not os.path.exists(sofile):
         cc = os.environ.get("CC", "cc")
-        cmd = [cc, "-O3", "-shared", "-fPIC", "-o", sofile + ".tmp", src]
+        cmd = [cc, "-O3", "-shared", "-fPIC", *extra_flags,
+               "-o", sofile + ".tmp", src]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(sofile + ".tmp", sofile)
-    lib = ctypes.CDLL(sofile)
+    return ctypes.CDLL(sofile)
+
+
+def _load(name: str, configure, extra_flags=()):
+    if name not in _libs:
+        lib = None
+        if not os.environ.get("SPASM_TPU_NO_NATIVE"):
+            try:
+                lib = _build(name, extra_flags)
+                configure(lib)
+            except Exception as exc:  # pragma: no cover - env without cc
+                lib = None
+                print(f"spasm_tpu: native {name} unavailable ({exc}); "
+                      "using NumPy fallback", file=sys.stderr)
+        _libs[name] = lib
+    return _libs[name]
+
+
+def _configure_parser(lib):
     fn = lib.spasm_tpu_parse_sms
     fn.restype = ctypes.c_int64
     fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                    ctypes.POINTER(ctypes.c_int64),
                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
-    return lib
 
 
 def get_lib():
-    global _lib, _tried
-    if _lib is None and not _tried:
-        _tried = True
-        if os.environ.get("SPASM_TPU_NO_NATIVE"):
-            return None
-        try:
-            _lib = _build_and_load()
-        except Exception as exc:  # pragma: no cover - env without cc
-            print(f"spasm_tpu: native parser unavailable ({exc}); "
-                  "using NumPy fallback", file=sys.stderr)
-    return _lib
+    return _load("sms_parser", _configure_parser)
 
 
 def parse_sms_native(raw: bytes):
@@ -75,3 +88,90 @@ def parse_sms_native(raw: bytes):
     tri = out[:3 * count].reshape(-1, 3)
     return (int(header[0]), int(header[1]),
             tri[:, 0].copy(), tri[:, 1].copy(), tri[:, 2].copy())
+
+
+# ---------------- fused Schur update: D = B - C @ U (mod p) ----------------
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+def _configure_schur(lib):
+    fn = lib.spasm_tpu_schur_update
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                   ctypes.c_int64,
+                   _I64P, _I32P, _I64P,
+                   _I64P, _I32P, _I64P,
+                   _I64P, _I32P, _I64P,
+                   _I64P,
+                   ctypes.POINTER(_I32P), ctypes.POINTER(_I64P)]
+    lib.spasm_tpu_free.restype = None
+    lib.spasm_tpu_free.argtypes = [ctypes.c_void_p]
+
+
+def _csr_parts(A):
+    """(indptr int64, indices int32, data int64) views/copies of a scipy
+    csr, or None when indices exceed int32 (native path unsupported)."""
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    if A.indices.dtype != np.int32:
+        if A.shape[1] > np.iinfo(np.int32).max:
+            return None
+        indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    else:
+        indices = np.ascontiguousarray(A.indices)
+    data = np.ascontiguousarray(A.data, dtype=np.int64)
+    return indptr, indices, data
+
+
+def schur_update_native(f, B, C, U):
+    """Fused D = B - C @ U (mod p, balanced) via the OpenMP C kernel
+    (csrc/schur_mod.c).  B (q, m), C (q, r), U (r, m) scipy csr with
+    balanced int64 data.  Returns a canonical scipy csr, or None when the
+    native library is unavailable (callers fall back to scipy)."""
+    import scipy.sparse as sp
+
+    lib = _load("schur_mod", _configure_schur, extra_flags=("-fopenmp",))
+    if lib is None:
+        return None
+    q, m = B.shape
+    pb = _csr_parts(B)
+    pc = _csr_parts(C)
+    pu = _csr_parts(U)
+    if pb is None or pc is None or pu is None:
+        return None
+    halfp = f.halfp
+    # fast path accumulates raw int64 products; safe iff the worst-case
+    # number of accumulated terms keeps |acc| < 2^62.  Each C entry adds
+    # at most ONE product term to any single accumulator slot (its U row
+    # contributes one value per column), so the per-slot term count is
+    # bounded by the widest C row plus the B entry.
+    safe_t = (1 << 62) // max(1, halfp * halfp)
+    max_terms = 2 + int(np.diff(pc[0]).max(initial=0))
+    reduce_each = 0 if max_terms < safe_t else 1
+    outp = np.zeros(q + 1, dtype=np.int64)
+    out_j = _I32P()
+    out_x = _I64P()
+    total = lib.spasm_tpu_schur_update(
+        q, m, f.p, reduce_each,
+        pb[0].ctypes.data_as(_I64P), pb[1].ctypes.data_as(_I32P),
+        pb[2].ctypes.data_as(_I64P),
+        pc[0].ctypes.data_as(_I64P), pc[1].ctypes.data_as(_I32P),
+        pc[2].ctypes.data_as(_I64P),
+        pu[0].ctypes.data_as(_I64P), pu[1].ctypes.data_as(_I32P),
+        pu[2].ctypes.data_as(_I64P),
+        outp.ctypes.data_as(_I64P),
+        ctypes.byref(out_j), ctypes.byref(out_x))
+    if total < 0:
+        return None
+    try:
+        indices = np.ctypeslib.as_array(out_j, shape=(max(total, 1),))[
+            :total].astype(np.int32, copy=True)
+        data = np.ctypeslib.as_array(out_x, shape=(max(total, 1),))[
+            :total].copy()
+    finally:
+        lib.spasm_tpu_free(out_j)
+        lib.spasm_tpu_free(out_x)
+    D = sp.csr_matrix((data, indices, outp), shape=(q, m))
+    D.has_sorted_indices = True  # per-row column sort done in C
+    return D

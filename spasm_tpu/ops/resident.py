@@ -15,14 +15,16 @@ fused megaprogram is slow to compile on remote-compile links):
   inverses, gather-based ELL packing of the pivot block, a scatter-max
   level fixpoint, and removal of the pivot rows from S.
 
-``_wave_append``
-  ONE elimination wave, sort-free: entries sitting in a level-t pivot
-  column emit that pivot row's ELL entries scaled by -coef, appended at
-  the pool's write pointer.  Duplicate (row, col) positions are allowed to
-  accumulate — by linearity each partial coefficient can emit separately —
-  and are only summed at the next round's sort.  The cancellation entry at
-  the pivot column is emitted too, so the pool is algebraically exact at
-  all times.
+``_wave_bounded``
+  ONE elimination wave: a 2-bit-key sort groups the pool as [level-t
+  hits][other live][dead], then the hits are expanded in fixed-size
+  chunks (ELL gather + compact + append at the write pointer), consuming
+  the hit entries and skipping each U row's unit-pivot entry (equivalent
+  to emitting the cancellation, by linearity).  Duplicate (row, col)
+  positions are allowed to accumulate — each partial coefficient emits
+  separately — and are only summed at the next round's sort.  Every op is
+  bounded by O(pool sort) or O(chunk * ku): the earlier whole-pool
+  gather/nonzero/scatter formulation faulted the TPU at 2^25-entry pools.
 
 ``_extract``
   final sort + duplicate-sum + compaction for reading S back.
@@ -51,6 +53,20 @@ from .sparse_device import _segments_sum_mod
 DEFAULT_KU = 64
 
 
+def _partition_keep(n: int, keep, rows, cols, vals):
+    """Stable-compact keepers to the front via ONE lax.sort on the keep
+    flag (lax.sort is stable).  Avoids jnp.nonzero(size=cap): its
+    scatter-based lowering stalls/faults the TPU at 2^25-element pools
+    (NOTES_r2.md), while same-size sorts run fine."""
+    ks = jnp.where(keep, jnp.int32(0), jnp.int32(1))
+    ks, rows, cols, vals = jax.lax.sort((ks, rows, cols, vals), num_keys=1)
+    dead = ks != 0
+    rows = jnp.where(dead, n, rows)
+    cols = jnp.where(dead, 0, cols)
+    vals = jnp.where(dead, 0, vals)
+    return rows, cols, vals, (ks == 0).sum()
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _compact(f: Field, nm, rows, cols, vals):
     """Sort by (row, col), sum duplicate positions mod p, drop zeros and
@@ -66,13 +82,8 @@ def _compact(f: Field, nm, rows, cols, vals):
     is_last = jnp.ones(cap, bool)
     is_last = is_last.at[:-1].set(change[1:])
     keep = is_last & (sums != 0) & (rows < n)
-    kidx = jnp.nonzero(keep, size=cap, fill_value=cap)[0]
-    kok = kidx < cap
-    ki = jnp.clip(kidx, 0, cap - 1)
-    rows = jnp.where(kok, rows[ki], n)
-    cols = jnp.where(kok, cols[ki], 0)
-    vals = jnp.where(kok, sums[ki], 0)
-    return rows, cols, vals, kok.sum()
+    rows, cols, vals, nnz = _partition_keep(n, keep, rows, cols, sums)
+    return rows, cols, vals, nnz
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -184,62 +195,127 @@ def _round_begin(f: Field, nm, ku: int, npool: int,
             overflow, act_rows)
 
 
-def _wave_append(f: Field, n: int, cap_hits: int,
-                 rows, cols, vals, u_cols, u_vals, lev, col2piv, t,
-                 write_ptr, overflow):
-    """One sort-free elimination wave: entries in level-t pivot columns
-    emit -coef * (pivot row) appended at write_ptr.  Exact by linearity;
-    duplicates resolve at the next compaction."""
+# expansion-op element budget for one hit chunk: every per-chunk op is
+# bounded by ~2^21 elements regardless of pool size (the earlier
+# whole-pool nonzero/gather/scatter formulation faulted the TPU at
+# 2^25-entry pools — see NOTES_r2.md)
+_CHUNK_ELEMS = 1 << 21
+
+
+def _chunk_width(ku: int) -> int:
+    return max(1 << 12, _CHUNK_ELEMS // ku)
+
+
+def _wave_bounded(f: Field, n: int, rows, cols, vals, u_cols, u_vals,
+                  lev, col2piv, t, write_ptr, overflow):
+    """One elimination wave with bounded-size ops.
+
+    A 2-bit-key sort groups the pool as [level-t hits][other live][dead];
+    hits are then expanded in fixed _CHUNK-sized pieces (each piece: ELL
+    gather, mask, compact, append) under a while_loop with a dynamic trip
+    count.  Hits are CONSUMED (killed after expansion) and the pivot-
+    column entry of each U row is skipped — algebraically identical to
+    emitting the cancellation (the old formulation), by linearity."""
     cap = rows.shape[0]
     npiv_cap, ku = u_cols.shape
+    CH = min(_chunk_width(ku), cap)
     m = col2piv.shape[0]
-    piv = jnp.where(cols >= 0, col2piv[jnp.clip(cols, 0, m - 1)], -1)
-    is_hit = (piv >= 0) & (vals != 0) & (rows < n)
-    is_hit &= jnp.where(
-        piv >= 0, lev[jnp.clip(piv, 0, npiv_cap - 1)] == t, False)
-    nhits = is_hit.sum()
-    overflow = overflow | (nhits > cap_hits)
-    hit_idx = jnp.nonzero(is_hit, size=cap_hits, fill_value=cap)[0]
-    hit_ok = hit_idx < cap
-    hi = jnp.clip(hit_idx, 0, cap - 1)
-    h_row = jnp.where(hit_ok, rows[hi], n)
-    h_piv = jnp.where(hit_ok, piv[hi], 0)
-    h_coef = jnp.where(hit_ok, vals[hi], 0)
-    e_cols = u_cols[h_piv]                              # (cap_hits, ku)
-    e_vals = modmul.mul(f, modmul.neg(f, h_coef)[:, None], u_vals[h_piv])
-    e_rows = jnp.broadcast_to(h_row[:, None], e_cols.shape)
-    e_live = (e_cols >= 0) & (e_vals != 0) & (e_rows < n)
-    flat = e_live.ravel()
-    n_emit = flat.sum()
-    overflow = overflow | (write_ptr + n_emit > cap)
-    eidx = jnp.nonzero(flat, size=cap_hits * ku,
-                       fill_value=cap_hits * ku)[0]
-    eok = eidx < cap_hits * ku
-    ei = jnp.clip(eidx, 0, cap_hits * ku - 1)
-    a_rows = jnp.where(eok, e_rows.ravel()[ei], n)
-    a_cols = jnp.where(eok, e_cols.ravel()[ei], 0)
-    a_vals = jnp.where(eok, e_vals.ravel()[ei], 0)
-    # append via drop-mode scatter at unique indices: the compacted
-    # emissions land at [write_ptr, write_ptr + n_emit); padding and
-    # overflowing entries are dropped (overflow is flagged above)
-    tgt = jnp.where(eok, write_ptr + jnp.arange(a_rows.shape[0],
-                                                dtype=jnp.int32), cap)
-    rows = rows.at[tgt].set(a_rows, mode="drop", unique_indices=True)
-    cols = cols.at[tgt].set(a_cols, mode="drop", unique_indices=True)
-    vals = vals.at[tgt].set(a_vals, mode="drop", unique_indices=True)
-    return rows, cols, vals, write_ptr + n_emit, overflow
+    piv = col2piv[jnp.clip(cols, 0, m - 1)]
+    live = (rows < n) & (vals != 0)
+    is_hit = live & (piv >= 0) & (lev[jnp.clip(piv, 0, npiv_cap - 1)] == t)
+    key = jnp.where(is_hit, 0, jnp.where(live, 1, 2)).astype(jnp.int32)
+    # sort by (hit-flag, row, col): dedups AND groups hits in a prefix in
+    # one pass (hit-ness is a column property, so a (row, col) group never
+    # straddles keys 0/1).  Summing duplicates EVERY wave keeps the pool
+    # at the true fill (the defer-to-round-end variant overflowed 8x nnz
+    # pools on cascade-heavy structured matrices).
+    key, rows, cols, vals = jax.lax.sort((key, rows, cols, vals),
+                                         num_keys=3)
+    from .sparse_device import _segments_sum_mod
+
+    change = jnp.ones(cap, bool)
+    change = change.at[1:].set((key[1:] != key[:-1])
+                               | (rows[1:] != rows[:-1])
+                               | (cols[1:] != cols[:-1]))
+    sums = _segments_sum_mod(f, vals, change)
+    is_last = jnp.ones(cap, bool)
+    is_last = is_last.at[:-1].set(change[1:])
+    keep = is_last & (sums != 0) & (key <= 1)
+    # stable keep-partition preserves the (hit, row, col) order, so hits
+    # stay a contiguous prefix (sort-based — see _partition_keep)
+    ks = jnp.where(keep, key, jnp.int32(2))
+    ks, rows, cols, vals = jax.lax.sort((ks, rows, cols, sums), num_keys=1)
+    dead = ks == 2
+    rows = jnp.where(dead, n, rows)
+    cols = jnp.where(dead, 0, cols)
+    vals = jnp.where(dead, 0, vals)
+    nhits = (ks == 0).sum().astype(jnp.int32)
+    nlive = (ks <= 1).sum().astype(jnp.int32)  # hits + other live
+    wp0 = nlive  # appends start right after the live region
+
+    def chunk_cond(c):
+        ci, _, _, _, wp, ovf = c
+        return (ci * CH < nhits) & jnp.logical_not(ovf)
+
+    def chunk_body(c):
+        ci, rows, cols, vals, wp, ovf = c
+        base = ci * CH
+        h_rows = jax.lax.dynamic_slice(rows, (base,), (CH,))
+        h_cols = jax.lax.dynamic_slice(cols, (base,), (CH,))
+        h_vals = jax.lax.dynamic_slice(vals, (base,), (CH,))
+        in_range = (jnp.arange(CH, dtype=jnp.int32) + base) < nhits
+        h_piv = jnp.where(in_range,
+                          col2piv[jnp.clip(h_cols, 0, m - 1)], 0)
+        h_piv = jnp.clip(h_piv, 0, npiv_cap - 1)
+        e_cols = u_cols[h_piv]                          # (CH, ku)
+        e_vals = modmul.mul(f, modmul.neg(f, h_vals)[:, None],
+                            u_vals[h_piv])
+        e_rows = jnp.broadcast_to(h_rows[:, None], e_cols.shape)
+        own_piv = jnp.where(
+            e_cols >= 0, col2piv[jnp.clip(e_cols, 0, m - 1)], -1)
+        e_live = ((e_cols >= 0) & (e_vals != 0) & in_range[:, None]
+                  & (own_piv != h_piv[:, None]))  # skip the unit pivot
+        flat = e_live.ravel()
+        n_emit = flat.sum().astype(jnp.int32)
+        ovf = ovf | (wp + n_emit > cap)
+        eidx = jnp.nonzero(flat, size=CH * ku,
+                           fill_value=CH * ku)[0]
+        eok = eidx < CH * ku
+        ei = jnp.clip(eidx, 0, CH * ku - 1)
+        a_rows = jnp.where(eok, e_rows.ravel()[ei], n)
+        a_cols = jnp.where(eok, e_cols.ravel()[ei], 0)
+        a_vals = jnp.where(eok, e_vals.ravel()[ei], 0)
+        tgt = jnp.where(eok, wp + jnp.arange(CH * ku,
+                                             dtype=jnp.int32), cap)
+        rows = rows.at[tgt].set(a_rows, mode="drop", unique_indices=True)
+        cols = cols.at[tgt].set(a_cols, mode="drop", unique_indices=True)
+        vals = vals.at[tgt].set(a_vals, mode="drop", unique_indices=True)
+        return ci + 1, rows, cols, vals, wp + n_emit, ovf
+
+    _, rows, cols, vals, wp, overflow = jax.lax.while_loop(
+        chunk_cond, chunk_body,
+        (jnp.int32(0), rows, cols, vals, wp0, overflow))
+    # consume the hits: kill slots [0, nhits)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    dead = idx < nhits
+    rows = jnp.where(dead, n, rows)
+    cols = jnp.where(dead, 0, cols)
+    vals = jnp.where(dead, 0, vals)
+    return rows, cols, vals, wp, overflow
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _waves_all(f: Field, n: int, cap_hits: int, depth,
                rows, cols, vals, u_cols, u_vals, lev, col2piv, write_ptr):
     """All elimination waves in one dispatch (fori_loop over the traced
-    depth) — one host->device round trip per round instead of per wave."""
+    depth) — one host->device round trip per round instead of per wave.
+    cap_hits is kept in the signature for call compatibility; the bounded
+    formulation has no per-wave hit capacity (hits are chunked)."""
 
     def body(t, carry):
         rows, cols, vals, wp, ovf = carry
-        return _wave_append(f, n, cap_hits, rows, cols, vals, u_cols,
-                            u_vals, lev, col2piv, t, wp, ovf)
+        return _wave_bounded(f, n, rows, cols, vals, u_cols,
+                             u_vals, lev, col2piv, t, wp, ovf)
 
     ovf0 = depth < 0  # input-derived False
     return jax.lax.fori_loop(

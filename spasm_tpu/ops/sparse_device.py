@@ -32,27 +32,40 @@ from . import modmul
 
 
 def _segments_sum_mod(f: Field, vals, seg_change):
-    """Sum runs of equal (row, col) positions exactly.
+    """Sum runs of equal (row, col) positions exactly (mod p, balanced).
 
-    vals are balanced (|v| <= p/2).  A run of length L sums to at most
-    L * p/2 which can overflow int32 for long runs; we therefore reduce by
-    repeated pairwise halving (log steps), each step an exact balanced
-    add."""
-    # associative scan over segments: use jax.ops.segment_sum on int32 is
-    # unsafe for long runs; instead do a segmented prefix via sort order —
-    # simplest exact approach: segment ids + unsorted_segment_sum in
-    # float64-free fashion: pairwise tree reduction inside equal runs.
-    # We implement with jax.lax.associative_scan on a (value, is_start)
-    # segmented-add monoid with modular addition (exact, stays balanced).
-    def combine(a, b):
-        va, sa = a
-        vb, sb = b
-        v = jnp.where(sb, vb, modmul.add(f, va, vb))
-        return v, sa | sb
+    Hand-rolled segmented Hillis-Steele scan: log2(n) passes of a
+    static-slice shift + flag-masked balanced add.  Each add keeps values
+    in [-p/2, p/2] via conditional +-p folds (division-free; exact for
+    every tier incl. 'c').  Replaces a lax.associative_scan with a custom
+    tuple monoid, whose TPU lowering stalled at 2^25-element pools
+    (NOTES_r2.md).  v[i] = prefix sum of i's segment up to i; the LAST
+    element of each run holds the full segment sum."""
+    n = vals.shape[0]
+    half = jnp.int32(f.halfp)
+    mhalf = jnp.int32(f.mhalfp)
 
-    v, _ = jax.lax.associative_scan(combine, (vals, seg_change))
-    return v  # v[i] = segment-sum up to i; the LAST element of each run
-    # holds the full segment sum
+    def fold_add(a, b):
+        # |a + b| <= p: one conditional fold each side lands balanced.
+        # tier-c: p/2 < 2**31 so a + b is exact in int32 except p odd...
+        # |a+b| <= p <= 2**32-5 does NOT fit int32 for tier-c; route
+        # through modmul.add there (uint32 wrap-aware).
+        s = a + b
+        s = jnp.where(s > half, s - jnp.int32(f.p), s)
+        return jnp.where(s < mhalf, s + jnp.int32(f.p), s)
+
+    add = fold_add if f.p <= (1 << 30) else (
+        lambda a, b: modmul.add(f, a, b))
+    v = vals
+    flg = seg_change
+    shift = 1
+    while shift < n:
+        v_prev = jnp.concatenate([jnp.zeros(shift, v.dtype), v[:-shift]])
+        f_prev = jnp.concatenate([jnp.ones(shift, bool), flg[:-shift]])
+        v = jnp.where(flg, v, add(v, v_prev))
+        flg = flg | f_prev
+        shift <<= 1
+    return v
 
 
 def make_wave_body(f: Field, cap: int, cap_hits: int,
