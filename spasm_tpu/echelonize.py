@@ -79,12 +79,13 @@ class EchelonizeOptions:
     # host 1.9s vs resident 5.9s warm), so the auto gate only engages where
     # per-round host SpGEMM work dominates the sync latency.
     device_rounds_min_nnz: int = 5_000_000
-    # Validated entry-pool capacity for the resident rounds: a d7-sized
-    # probe (pool 2^25) FAULTED the TPU in the wave program
-    # (tools/tpu_resident_probe.py, NOTES_r2.md); until the wave is
-    # rewritten with bounded-size ops, pools past the tested envelope fall
-    # back to the host loop.  device_rounds=True (tests) still honors it.
-    device_rounds_max_pool: int = 1 << 22
+    # Validated entry-pool capacity for the resident rounds: the bounded
+    # dedup-wave rewrite runs correct and fault-free at 2^25 pools
+    # (tools/tpu_resident_probe.py: d7 round exact, Schur empty), but at
+    # ~1.4 s/wave it loses to the host loop at today's sizes — the pool
+    # sorts dominate.  Larger pools are untested; they fall back to the
+    # host loop.
+    device_rounds_max_pool: int = 1 << 25
 
 
 def parse_echelonize_opts(opts=None, **kwargs) -> EchelonizeOptions:
