@@ -82,7 +82,7 @@ def main():
 
     runs = []
     r = None
-    for _ in range(2):
+    for _ in range(3):  # the tunneled link has slow phases; best-of-3
         t0 = time.time()
         r = st.rank(A)
         runs.append(round(time.time() - t0, 3))

@@ -115,6 +115,14 @@ def _auto_dense_budget() -> int:
             if dev.platform != "cpu":
                 stats = dev.memory_stats() or {}
                 limit = stats.get("bytes_limit")
+                if not limit and dev.platform == "tpu":
+                    # memory_stats() is None on some plugin backends (the
+                    # tunneled v5e reports platform 'tpu', kind 'TPU v5
+                    # lite'); fall back on the known 16 GB HBM of v5e/v5
+                    # lite and a conservative floor for unknown kinds
+                    kind = getattr(dev, "device_kind", "").lower()
+                    limit = (16 << 30) if ("v5" in kind or "v6" in kind) \
+                        else (8 << 30)
                 if limit:
                     budget = max(budget, int(limit * 0.35) // 4)
         except Exception:  # pragma: no cover - backend quirks

@@ -6,20 +6,21 @@ steps.  As XLA ops each step pays dispatch + HBM round-trip latency; here
 the whole loop runs inside one kernel with the panel P (n x c) and the
 correction G (n x c) resident in VMEM.
 
-Per pivot step the pivot-row scaling is folded into the elimination
-coefficient: with beta[pr] = pinv - 1 and beta[i] = -col[i] * pinv
-otherwise, ONE fused rank-1 update  P += beta * P[pr]  both scales the
-pivot row to a unit pivot and eliminates its column everywhere else, and
-the same beta updates G against g_row = G[pr] + e_slot.  The correction
-invariant is  row_i_final = X_i + G_i @ X[prows, :]  (no separate row
-scalings — the s vector of the earlier design is identically 1 and
-gone).  Products |beta| * |P| <= (p/2)^2 + p/2 < 2^31 stay exact in
-int32 for tier-A primes, so each update needs a single float-Barrett
-reduction (delayed mod).
+Two kernels, same outputs as dense._panel_eliminate (the XLA fallback):
 
-Semantics are identical to dense._panel_eliminate (the XLA fallback).
-Tier-A primes with p >= _MIN_P only (float Barrett reduction); larger or
-tiny primes and n > MAX_ROWS fall back.
+* ``_kernel_scalefree`` (p <= 65535, incl. the default 42013): the pivot
+  step is division-free — P_i <- pv*P_i - col_i*P[pr] — with per-row
+  accumulated scales recovered by ONE vectorized Fermat inverse in the
+  epilogue.  This removes the ~30-op sequential inverse chain from every
+  pivot step's critical path (the dominant cost of the classic kernel).
+* ``_kernel`` (65536 < p <= 92681): the classic form with the per-step
+  scalar inverse; beta[pr] = pinv - 1, beta[i] = -col[i] * pinv, one
+  fused rank-1 update for scale + eliminate.
+
+The correction invariant for both: row_i_final = X_i + G_i @ X[prows].
+All products stay exact in int32 before a single float-Barrett reduction
+(bounds in each kernel's docstring).  Tier-A primes with p >= _MIN_P
+only; larger or tiny primes and n > MAX_ROWS fall back to XLA.
 """
 
 from __future__ import annotations
@@ -35,6 +36,12 @@ from ..field import Field
 from .pallas_matmul import _MIN_P, _mod_balanced_f32, available
 
 MAX_ROWS = 4096  # P + G + input copy at c=128 must fit 16 MiB VMEM
+
+# Scale-free kernel range: one Jordan step computes pv*P - col*P[pr]
+# before a single Barrett reduction; |pv*P| + |col*P[pr]| <= 2*(p/2)^2
+# must stay below 2^31, i.e. p <= 65535.  Larger tier-A primes use the
+# per-step-inverse kernel.
+_SCALEFREE_MAX_P = 65535
 
 
 def supported(f: Field, n: int) -> bool:
@@ -111,9 +118,126 @@ def _kernel(f: Field, npivcols: int, c: int,
     jax.lax.fori_loop(0, c, body, jnp.int32(0))
 
 
+def _kernel_scalefree(f: Field, npivcols: int, c: int,
+                      j0_ref, p_in, ispiv_in, P, H, sref, prow, pcol,
+                      pfound, ispiv):
+    """Scale-free (division-free) Jordan panel.  Each pivot step is
+
+        P_i <- pv * P_i - col_i * P[pr]        (i != pr; P[pr] kept)
+        H_i <- pv * H_i - col_i * (H[pr] + s[pr] * e_slot)
+        H[pr] += (s[pr] - pv) * e_slot
+        s_i <- pv * s_i;  s[pr] <- pv
+
+    where pv/col are the OBSERVED (scaled) values and s is the per-row
+    accumulated scale: P_i = s_i * T_i and H_i = s_i * G_i with (T, G)
+    the classic kernel's outputs (derivation: substituting the scaled
+    quantities into the classic update with beta = -col_T * pinv_T shows
+    the observed update preserves these invariants, because the observed
+    pivot value is pv = s[pr] * pv_T).  The per-step modular inverse of
+    the classic kernel disappears; the jit epilogue applies ONE
+    vectorized Fermat inverse of s to recover (T, G) with unit pivots.
+    Exact for p <= _SCALEFREE_MAX_P: |pv*P| + |col*P[pr]| <= 2*(p/2)^2
+    < 2^31, one float-Barrett per update."""
+    n = P.shape[0]
+    p = f.p
+    P[:] = p_in[:]
+    ispiv[:] = ispiv_in[:]
+    H[:] = jnp.zeros_like(H)
+    sref[:] = jnp.ones_like(sref)
+    prow[:] = jnp.zeros_like(prow)
+    pcol[:] = jnp.zeros_like(pcol)
+    pfound[:] = jnp.zeros_like(pfound)
+    j0 = j0_ref[0]
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    slotid = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+
+    def body(jj, kk):
+        Pv = P[:]
+        sv = sref[:]
+        col = jnp.sum(jnp.where(colid == jj, Pv, 0), axis=1,
+                      keepdims=True)  # (n, 1)
+        eligible = (j0 + jj) < npivcols
+        cand = (col != 0) & (ispiv[:] == 0) & eligible
+        pr = jnp.min(jnp.where(cand, rowid, jnp.int32(n)))
+        found = pr < n
+        prc = jnp.where(found, pr, 0)
+        is_pr = rowid == pr  # (n, 1)
+        pv = jnp.sum(jnp.where(is_pr, col, 0))
+        pv = jnp.where(found, pv, jnp.int32(1))
+        s_pr = jnp.sum(jnp.where(is_pr, sv, 0))
+        s_pr = jnp.where(found, s_pr, jnp.int32(1))
+        Prow = P[pl.ds(prc, 1), :]                       # (1, c)
+        hrow = _mod_balanced_f32(
+            p, H[pl.ds(prc, 1), :]
+            + jnp.where(slotid == kk, s_pr, jnp.int32(0)))
+        colz = jnp.where(found & jnp.logical_not(is_pr), col, 0)
+        pvz = jnp.where(found & jnp.logical_not(is_pr), pv, jnp.int32(1))
+        # |pv*P| + |col*Prow| <= 2*(p/2)^2 < 2^31: exact, one reduction
+        P[:] = _mod_balanced_f32(p, pvz * Pv - colz * Prow)
+        H[:] = _mod_balanced_f32(p, pvz * H[:] - colz * hrow)
+        # pivot row's own slot: H[pr] += (s[pr] - pv) * e_slot
+        w = _mod_balanced_f32(p, s_pr - pv)
+        hpr = H[pl.ds(prc, 1), :]
+        hpr_new = _mod_balanced_f32(
+            p, hpr + jnp.where((slotid == kk) & found, w, jnp.int32(0)))
+        H[pl.ds(prc, 1), :] = hpr_new
+        # scales: every row picks up pv; the pivot row resets to pv
+        s_new = _mod_balanced_f32(p, jnp.where(found, pv, 1) * sv)
+        sref[:] = jnp.where(is_pr & found, pv, s_new)
+        fi = found.astype(jnp.int32)
+        ispiv[:] = jnp.where(is_pr & found, 1, ispiv[:])
+        slot_hit = (slotid == kk) & found
+        prow[:] = jnp.where(slot_hit, pr, prow[:])
+        pcol[:] = jnp.where(slot_hit, jj, pcol[:])
+        pfound[:] = jnp.where(slot_hit, 1, pfound[:])
+        return kk + fi
+
+    jax.lax.fori_loop(0, c, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _panel_scalefree_jit(f: Field, npivcols: int, P, is_piv_row, j0):
+    n, c = P.shape
+    j0_arr = jnp.asarray(j0, jnp.int32).reshape(1)
+    ispiv_i32 = is_piv_row.astype(jnp.int32).reshape(n, 1)
+    kern = functools.partial(_kernel_scalefree, f, npivcols, c)
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, c), jnp.int32),   # P (s-scaled)
+        jax.ShapeDtypeStruct((n, c), jnp.int32),   # H (s-scaled G)
+        jax.ShapeDtypeStruct((n, 1), jnp.int32),   # per-row scales s
+        jax.ShapeDtypeStruct((1, c), jnp.int32),   # prow
+        jax.ShapeDtypeStruct((1, c), jnp.int32),   # pcol
+        jax.ShapeDtypeStruct((1, c), jnp.int32),   # pfound
+        jax.ShapeDtypeStruct((n, 1), jnp.int32),   # ispiv
+    )
+    Ps, Hs, sv, prow, pcol, pfound, ispiv = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shapes),
+        out_shape=out_shapes,
+        interpret=not available(),
+    )(j0_arr, P, ispiv_i32)
+    # ONE vectorized Fermat inverse of the scale vector per panel (vs one
+    # scalar inverse per pivot step): _inv_scalar's square-and-multiply is
+    # elementwise jnp, so it vectorizes over (n, 1) directly
+    sinv = _inv_scalar(f, sv)
+    P2 = _mod_balanced_f32(f.p, Ps * sinv)
+    G = _mod_balanced_f32(f.p, Hs * sinv)
+    return (P2, G, prow[0], pcol[0], pfound[0].astype(bool),
+            ispiv[:, 0].astype(bool))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def panel_eliminate_pallas(f: Field, npivcols: int, P, is_piv_row, j0):
     """Drop-in for dense._panel_eliminate with the same outputs."""
+    if f.p <= _SCALEFREE_MAX_P:
+        return _panel_scalefree_jit(f, npivcols, P, is_piv_row, j0)
     n, c = P.shape
     j0_arr = jnp.asarray(j0, jnp.int32).reshape(1)
     ispiv_i32 = is_piv_row.astype(jnp.int32).reshape(n, 1)
