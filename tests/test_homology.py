@@ -84,3 +84,21 @@ def test_boundary_mod_small_primes():
             continue  # framework needs p > 2 (reference too)
         A = simplex_boundary(7, 3, p)
         assert rank(A) == binom(6, 3)
+
+
+def test_fixtures_vectorized_builder():
+    """fixtures.simplex_boundary (vectorized, colex numbering) matches the
+    loop-built boundary up to row/column permutation and composes to zero
+    across dimensions (chain complex)."""
+    from math import comb
+
+    from spasm_tpu import rank
+    from spasm_tpu.fixtures import expected_boundary_rank, simplex_boundary
+
+    B = simplex_boundary(9, 3)
+    assert B.shape == (comb(9, 4), comb(9, 3))
+    assert B.nnz == comb(9, 4) * 4
+    assert rank(B) == expected_boundary_rank(9, 3) == comb(8, 3)
+    A1 = simplex_boundary(9, 2).to_dense().astype(np.int64)
+    A2 = simplex_boundary(9, 3).to_dense().astype(np.int64)
+    assert not ((A2 @ A1) % 42013).any()
