@@ -113,17 +113,22 @@ def mutual_reduce(f: Field, U_sp, piv_cols, levels, fill_cap: float = 16.0):
     offs = np.searchsorted(lev_sorted, np.arange(depth + 1))
     nnz_cap = max(1024, int(fill_cap * max(1, U_sp.nnz)))
     # backward sweep: once level t is final, reduce all lower levels
-    # against it in one product
+    # against it in one product.  The active prefix shrinks every sweep;
+    # finalized level blocks are stacked ONCE at the end (a per-sweep
+    # vstack would copy the whole matrix depth times).
+    final_blocks = []
+    nnz_final = 0
     for t in range(depth - 1, 0, -1):
         lo, hi = offs[t], offs[t + 1]
-        kt_cols = pc_sorted[lo:hi]
-        P = W[:lo]
-        Ct = sp.csr_matrix(P[:, kt_cols])
-        if Ct.nnz:
-            P = _schur_update(f, P, Ct, sp.csr_matrix(W[lo:hi]))
-        W = sp.vstack([P, W[lo:]], format="csr")
-        if W.nnz > nnz_cap:
+        Ut = sp.csr_matrix(W[lo:hi])
+        final_blocks.append(Ut)
+        nnz_final += Ut.nnz
+        P = sp.csr_matrix(W[:lo])
+        Ct = sp.csr_matrix(P[:, pc_sorted[lo:hi]])
+        W = _schur_update(f, P, Ct, Ut) if Ct.nnz else P
+        if W.nnz + nnz_final > nnz_cap:
             return U_sp, False
+    W = sp.vstack([W] + final_blocks[::-1], format="csr")
     inv_order = np.argsort(order, kind="stable")
     return W[inv_order], True
 
