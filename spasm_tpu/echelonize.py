@@ -191,7 +191,9 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     t_start = wtime()
     log(f"[echelonize] Start on {n} x {m} matrix with {A.nnz} nnz")
 
-    S = mod_reduce(A.to_scipy(), f)     # current Schur complement
+    # SparseGFp is canonical by construction (balanced values, sorted
+    # indices, no explicit zeros): no entry re-reduction needed
+    S = A.to_scipy()                    # current Schur complement
     row_origin = np.arange(n, dtype=np.int64)
 
     U_blocks: list[sp.csr_matrix] = []  # scaled pivot row blocks
