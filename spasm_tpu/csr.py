@@ -112,10 +112,26 @@ class SparseGFp:
     @classmethod
     def rand(cls, f: Field, n, m, density=1.0, rng=None):
         """sprand (src/SpaSM.jl:445): iid Bernoulli(density) pattern with
-        uniform nonzero balanced values."""
+        uniform nonzero balanced values.
+
+        Large sparse instances use binomial-count + unique-uniform-position
+        sampling (the same pattern distribution) instead of materializing
+        the dense n*m mask — 50k x 50k at 1e-4 needs ~300k samples, not a
+        20 GB mask."""
         rng = np.random.default_rng() if rng is None else rng
-        mask = rng.random((n, m)) < density
-        i, j = np.nonzero(mask)
+        total = int(n) * int(m)
+        if total <= (1 << 24) or density >= 0.05:
+            mask = rng.random((n, m)) < density
+            i, j = np.nonzero(mask)
+        else:
+            k = int(rng.binomial(min(total, (1 << 62)), density))
+            flat = np.unique(rng.integers(0, total, size=int(k * 1.05) + 16,
+                                          dtype=np.int64))
+            while flat.size < k:  # top up after duplicate removal
+                extra = rng.integers(0, total, size=k, dtype=np.int64)
+                flat = np.unique(np.concatenate([flat, extra]))
+            flat = rng.permutation(flat)[:k]
+            i, j = flat // m, flat % m
         v = rng.integers(1, f.p, size=i.size)
         return cls.from_coo(f, n, m, i, j, v)
 

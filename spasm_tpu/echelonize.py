@@ -79,6 +79,14 @@ class EchelonizeOptions:
     # host 1.9s vs resident 5.9s warm), so the auto gate only engages where
     # per-round host SpGEMM work dominates the sync latency.
     device_rounds_min_nnz: int = 5_000_000
+    # TPU-specific: on an accelerator backend, switch to the dense finish
+    # at a LOWER estimated Schur density whenever it fits the dense
+    # budget — the MXU makes the dense finish far cheaper relative to
+    # sparse fill growth than the CPU tradeoff the reference's 0.05
+    # sparsity_threshold was tuned for (measured: a 50k/1.2e-4 random
+    # case exploded 1.5M -> 26M nnz in the round the 0.05 gate let
+    # through).  None disables (reference behavior).
+    device_sparsity_threshold: "float | None" = 0.02
     # Validated entry-pool capacity for the resident rounds: the bounded
     # dedup-wave rewrite runs correct and fault-free at 2^25 pools
     # (tools/tpu_resident_probe.py: d7 round exact, Schur empty), but at
@@ -325,7 +333,11 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
         log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
             f"estimated density : {est:.2f}")
-        if (est >= opts.sparsity_threshold and opts.enable_dense
+        thresh = opts.sparsity_threshold
+        if (opts.device_sparsity_threshold is not None and opts.enable_dense
+                and _dense_feasible(S, opts) and _on_accelerator()):
+            thresh = min(thresh, opts.device_sparsity_threshold)
+        if (est >= thresh and opts.enable_dense
                 and (round_idx > 0 or _dense_feasible(S, opts))):
             # round 0 included when the whole matrix fits the dense budget:
             # one blocked MXU RREF beats forming a dense-ish sparse Schur
@@ -597,6 +609,12 @@ def _device_rounds_enabled(opts, f: Field, S) -> bool:
 
     return (jax.default_backend() != "cpu"
             and S.nnz >= opts.device_rounds_min_nnz)
+
+
+def _on_accelerator() -> bool:
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def _dense_feasible(S, opts) -> bool:
