@@ -167,12 +167,14 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
     # makes progress; a handful of passes replaces the per-row Python loop
     # of the sequential formulation (the pivot SET may differ — the
     # rank/RREF/kernel contract is what is preserved).
+    exhausted = False
     for _ in range(max(max_passes, 8)):
         live_row = (~row_used) & (lengths > 0)
         keep = live_row[re_all]
         re = re_all[keep]
         ci = ci_all[keep]
         if re.size == 0:
+            exhausted = True
             break
         # p2 per row: min position over selected pivot columns in support
         p2 = np.full(n, np.inf)
@@ -180,6 +182,9 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
         # eligible entries: free column, insertable below the row's p2
         elig = (~col_selected[ci]) & (col_touch_max[ci] < p2[re])
         if not elig.any():
+            # the sequential rule below uses the SAME eligibility test, so
+            # an empty eligible set proves the mop-up would find nothing
+            exhausted = True
             break
         re_e, ci_e = re[elig], ci[elig]
         # per-row best column: minimize (col_count, col) — composite key
@@ -234,13 +239,16 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
     # sequential mop-up on a bounded set of remaining candidates: the
     # batched acceptance is conservative on cascade/chain structures
     # (heavily overlapping supports) where the fractional-insertion rule
-    # shines — cap the Python loop so per-round host work stays bounded
-    sq_r, sq_c, sq_p = _greedy_sequential(
-        A, col_selected, row_used, piv_pos_of_col, col_touch_max,
-        col_counts, lengths, cap=4096)
-    sel_r.append(sq_r)
-    sel_c.append(sq_c)
-    sel_p.append(sq_p)
+    # shines — cap the Python loop so per-round host work stays bounded.
+    # Skipped when the batched passes PROVED exhaustion (empty eligible
+    # set): the per-row loop applies the identical insertion rule.
+    if not exhausted:
+        sq_r, sq_c, sq_p = _greedy_sequential(
+            A, col_selected, row_used, piv_pos_of_col, col_touch_max,
+            col_counts, lengths, cap=4096)
+        sel_r.append(sq_r)
+        sel_c.append(sq_c)
+        sel_p.append(sq_p)
     if sel_r:
         return (np.concatenate(sel_r).astype(np.int64),
                 np.concatenate(sel_c).astype(np.int64),
