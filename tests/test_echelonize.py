@@ -359,3 +359,35 @@ def test_mutual_reduce_single_wave(rng):
     # B' == B - C @ Ustar exactly
     recon = mod_reduce(S[rest] - C @ sp.csr_matrix(Ustar), f)
     assert (recon != got).nnz == 0
+
+
+def test_device_sparsity_threshold_gate(monkeypatch, rng):
+    """On an accelerator backend (monkeypatched), the round loop switches
+    to the dense finish at device_sparsity_threshold when the dense finish
+    fits the budget; with the option disabled it keeps the reference's
+    sparsity_threshold gate."""
+    import importlib
+
+    ech = importlib.import_module("spasm_tpu.echelonize")
+
+    f = field(42013)
+    A = SparseGFp.rand(f, 300, 300, 0.02, rng)
+    monkeypatch.setattr(ech, "_on_accelerator", lambda: True)
+    logs = []
+    from spasm_tpu.utils import logging as lg
+
+    lg.set_log(logs.append)
+    try:
+        # threshold pushed high so only the device gate can trigger the
+        # early switch
+        fact1 = echelonize(A, verbose=True, sparsity_threshold=0.9,
+                           device_sparsity_threshold=1e-9, max_round=3)
+        switched = any("too dense" in s for s in logs)
+        logs.clear()
+        fact2 = echelonize(A, verbose=True, sparsity_threshold=0.9,
+                           device_sparsity_threshold=None, max_round=3)
+        not_switched = not any("too dense" in s for s in logs)
+    finally:
+        lg.set_log(None)
+    assert switched and not_switched
+    assert fact1.r == fact2.r  # the result is gate-invariant
