@@ -90,9 +90,13 @@ def main():
     value = A.nnz / wall
 
     B = boundary(BOUNDARY_N, BOUNDARY_K)
-    t0 = time.time()
-    rb = st.rank(B)
-    wall_b = time.time() - t0
+    runs_b = []
+    rb = None
+    for _ in range(2):  # host-phase wall noise on this VM is 2-5x
+        t0 = time.time()
+        rb = st.rank(B)
+        runs_b.append(round(time.time() - t0, 3))
+    wall_b = min(runs_b)
     assert rb == comb(BOUNDARY_N - 1, BOUNDARY_K), rb
 
     print(json.dumps({
@@ -106,7 +110,7 @@ def main():
                 "case": f"simplex boundary d{BOUNDARY_K} on "
                         f"{BOUNDARY_N} vertices",
                 "shape": list(B.shape), "nnz": B.nnz, "rank": rb,
-                "wall_s": round(wall_b, 3),
+                "wall_s": wall_b, "runs_s": runs_b,
                 "nnz_per_s": round(B.nnz / wall_b, 1),
             },
         },
