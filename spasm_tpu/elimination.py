@@ -86,7 +86,8 @@ def topo_order(U, piv_cols):
     return np.array(out, np.int64)
 
 
-def mutual_reduce(f: Field, U_sp, piv_cols, levels, fill_cap: float = 16.0):
+def mutual_reduce(f: Field, U_sp, piv_cols, levels,
+                  fill_cap: "float | None" = 16.0):
     """Bring the pivot block into FULL MUTUAL REDUCED form: every row has
     zero at every *other* pivot's column.  Against such a U*, eliminating
     any row set B is a single product — B - B[:, piv_cols] @ U* — because
@@ -111,7 +112,8 @@ def mutual_reduce(f: Field, U_sp, piv_cols, levels, fill_cap: float = 16.0):
     lev_sorted = levels[order]
     pc_sorted = piv_cols[order]
     offs = np.searchsorted(lev_sorted, np.arange(depth + 1))
-    nnz_cap = max(1024, int(fill_cap * max(1, U_sp.nnz)))
+    nnz_cap = (None if fill_cap is None
+               else max(1024, int(fill_cap * max(1, U_sp.nnz))))
     # backward sweep: once level t is final, reduce all lower levels
     # against it in one product.  The active prefix shrinks every sweep;
     # finalized level blocks are stacked ONCE at the end (a per-sweep
@@ -126,7 +128,7 @@ def mutual_reduce(f: Field, U_sp, piv_cols, levels, fill_cap: float = 16.0):
         P = sp.csr_matrix(W[:lo])
         Ct = sp.csr_matrix(P[:, pc_sorted[lo:hi]])
         W = _schur_update(f, P, Ct, Ut) if Ct.nnz else P
-        if W.nnz + nnz_final > nnz_cap:
+        if nnz_cap is not None and W.nnz + nnz_final > nnz_cap:
             return U_sp, False
     W = sp.vstack([W] + final_blocks[::-1], format="csr")
     inv_order = np.argsort(order, kind="stable")

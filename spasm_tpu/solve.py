@@ -56,34 +56,23 @@ def rref_of_U(fact: LU) -> SparseGFp:
         C = sp.csr_matrix((coef, (dup, first_of[dup])), shape=(r, r))
         B = mod_reduce(B - safe_spgemm(f, C, B), f)
     piv_cols = leads
-    # (2) Jordan against the canonical pivots, with self-skip
-    Bw = SparseGFp.from_scipy(B, f.p)
-    levels = compute_levels(Bw, piv_cols)
-    U0 = sp.csr_matrix(B)  # elimination sources: the pre-pass basis
-    depth = int(levels.max()) + 1
-    for t in range(depth):
-        kt = np.flatnonzero(levels == t)
-        if kt.size == 0:
-            continue
-        Ct = sp.csc_matrix(B)[:, piv_cols[kt]].tocoo()
-        keep = Ct.row != kt[Ct.col]  # self-elimination is skipped
-        Ct = sp.csr_matrix((Ct.data[keep], (Ct.row[keep], Ct.col[keep])),
-                           shape=(r, kt.size))
-        if Ct.nnz:
-            scale = f.inv(np.asarray(
-                U0[kt, piv_cols[kt]]).ravel().astype(np.int64))
-            Ctc = Ct.tocoo()
-            Ct = sp.csr_matrix(
-                (f.mul(Ctc.data, scale[Ctc.col]), (Ctc.row, Ctc.col)),
-                shape=Ct.shape)
-            B = mod_reduce(B - safe_spgemm(f, Ct, U0[kt]), f)
-    # rescale rows so pivots are exactly 1
-    diag = np.asarray(
+    # (2) scale leads to unit pivots, then bring the basis into full
+    # mutual reduced form — which IS the canonical RREF (distinct leading
+    # columns + every row zero at every other pivot).  mutual_reduce runs
+    # the prefix-shrinking backward sweep through the native Schur kernel
+    # — much cheaper than a per-level Jordan over the whole basis.
+    lead_val = np.asarray(
         B[np.arange(r), piv_cols]).ravel().astype(np.int64)
-    scales = f.inv(diag)
     row_of = np.repeat(np.arange(r), np.diff(B.indptr))
-    B.data = f.normalize(B.data * scales[row_of])
-    return SparseGFp.from_scipy(B, f.p)
+    B.data = f.normalize(B.data * f.inv(lead_val)[row_of])
+    Bw = SparseGFp.from_scipy(B, f.p, assume_canonical=True)
+    levels = compute_levels(Bw, piv_cols)
+    from .elimination import mutual_reduce
+
+    R, ok = mutual_reduce(f, B, piv_cols, levels, fill_cap=None)
+    assert ok  # fill_cap=None: the RREF's fill is whatever it must be
+    return SparseGFp.from_scipy(sp.csr_matrix(R), f.p,
+                                assume_canonical=True)
 
 
 def rref_qinv_of(R: SparseGFp):
