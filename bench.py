@@ -92,7 +92,7 @@ def main():
     B = boundary(BOUNDARY_N, BOUNDARY_K)
     runs_b = []
     rb = None
-    for _ in range(2):  # host-phase wall noise on this VM is 2-5x
+    for _ in range(3):  # host-phase wall noise on this VM is 2-5x
         t0 = time.time()
         rb = st.rank(B)
         runs_b.append(round(time.time() - t0, 3))
