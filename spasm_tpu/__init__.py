@@ -34,6 +34,7 @@ from .blocks import (Block, block_decompose, echelonize_blocks,
 from .certificate import (RankCertificate, certificate_rank_create,
                           certificate_rank_verify, factorization_verify,
                           rank_certificate_load, rank_certificate_save)
+from .checkpoint import load_lu, save_lu
 from .utils.logging import set_log, wtime
 
 __version__ = "0.1.0"

@@ -79,3 +79,58 @@ def load_state(path: str) -> dict:
         else:
             out["L_parts"] = []
     return out
+
+
+# ---------------- whole-factorization persistence ----------------
+#
+# The reference's persistence story is SMS matrix files + savable CSR
+# factors (SURVEY.md section 5); round-granular state (above) goes beyond
+# it.  save_lu/load_lu persist a finished LU (U, qinv, p, piv_cols,
+# levels, optional L, dense_piv_start) as one compressed npz.
+
+
+def save_lu(path: str, fact) -> None:
+    """Persist a finished factorization (echelonize.LU)."""
+    payload = dict(
+        kind="spasm_tpu_lu_v1", field_p=fact.field.p, n=fact.n, m=fact.m,
+        r=fact.r, complete=int(fact.complete),
+        U_indptr=fact.U.indptr, U_indices=fact.U.indices,
+        U_data=fact.U.data, qinv=fact.qinv, p_vec=fact.p,
+        piv_cols=fact.piv_cols, levels=fact.levels,
+        dense_piv_start=(-1 if fact.dense_piv_start is None
+                         else fact.dense_piv_start))
+    if fact.L is not None:
+        payload.update(L_indptr=fact.L.indptr, L_indices=fact.L.indices,
+                       L_data=fact.L.data)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, **payload)
+    os.replace(tmp, path)
+
+
+def load_lu(path: str):
+    """Load a factorization persisted by save_lu."""
+    from .csr import SparseGFp
+    from .echelonize import LU
+    from .field import field
+
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["kind"]) != "spasm_tpu_lu_v1":
+            raise ValueError(f"not a spasm_tpu LU file: {path}")
+        f = field(int(z["field_p"]))
+        n, m, r = int(z["n"]), int(z["m"]), int(z["r"])
+        U = SparseGFp(f, r, m, z["U_indptr"].astype(np.int64),
+                      z["U_indices"].astype(np.int32),
+                      z["U_data"].astype(np.int32), _canonical=True)
+        L = None
+        if "L_indptr" in z:
+            L = SparseGFp(f, n, r, z["L_indptr"].astype(np.int64),
+                          z["L_indices"].astype(np.int32),
+                          z["L_data"].astype(np.int32), _canonical=True)
+        dps = int(z["dense_piv_start"])
+        return LU(field=f, n=n, m=m, r=r, complete=bool(int(z["complete"])),
+                  U=U, qinv=z["qinv"].astype(np.int64),
+                  p=z["p_vec"].astype(np.int64),
+                  piv_cols=z["piv_cols"].astype(np.int64), L=L,
+                  levels=z["levels"].astype(np.int64),
+                  dense_piv_start=None if dps < 0 else dps)

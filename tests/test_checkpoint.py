@@ -70,3 +70,26 @@ def test_multihost_helpers():
     mesh = global_mesh()
     lo, hi = host_local_rows(100, mesh)
     assert lo == 0 and hi == 100  # single process owns everything
+
+
+def test_save_load_lu(tmp_path, rng):
+    """Whole-factorization persistence (the reference's savable CSR
+    factors, SURVEY section 5): solves and kernels work identically on a
+    reloaded LU."""
+    import spasm_tpu as st
+    from spasm_tpu import gesv, kernel
+
+    f = st.field(42013)
+    A = st.SparseGFp.rand(f, 120, 100, 0.05, rng)
+    fact = st.echelonize(A, L=True)
+    path = str(tmp_path / "fact.npz")
+    st.save_lu(path, fact)
+    fact2 = st.load_lu(path)
+    assert fact2.r == fact.r and fact2.U == fact.U and fact2.L == fact.L
+    np.testing.assert_array_equal(fact2.qinv, fact.qinv)
+    assert fact2.L @ fact2.U == A
+    X0 = st.SparseGFp.rand(f, 3, 120, 0.1, rng)
+    B = X0 @ A
+    X, ok = gesv(fact2, B)
+    assert ok.all() and X @ A == B
+    assert kernel(fact2) == kernel(fact)
