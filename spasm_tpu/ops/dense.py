@@ -93,6 +93,13 @@ def _panel_eliminate(f: Field, P, is_piv_row, j0, npivcols: int):
     return P, G, piv_rows, piv_cols, piv_found, is_piv_row
 
 
+# panels per full-width rank-c correction: the K panels of a group share
+# ONE whole-matrix matmul+reduce pass (the per-panel full-width pass was
+# ~40% of the dense-finish device time); cross-panel consistency inside a
+# group is kept with tiny window corrections (n x c and c x m ops)
+PANEL_GROUP = 4
+
+
 def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
     """Blocked Jordan RREF of X (n, m) over GF(p).  Only the first
     ``npivcols`` columns are searched for pivots (pass m normally; pass
@@ -102,11 +109,26 @@ def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
     Returns (R, rank, piv_row_of, piv_col_of, is_piv_row) where
     ``piv_row_of[k]`` / ``piv_col_of[k]`` give the k-th pivot in column
     order (padded with -1 past rank) and is_piv_row is the (n,) mask.
+
+    Panels are processed in groups of PANEL_GROUP: within a group, each
+    panel sees the previous panels' row operations only on its own column
+    window (P += G_l @ R_l[:, window]) and on its pivot rows
+    (R_k = X[prows_k] + sum_l G_l[prows_k] @ R_l); the full-width update
+    X += [G_1|..|G_K] @ [R_1;..;R_K] happens ONCE per group.  This is
+    exact: the row operations of panel k are encoded entirely by
+    (G_k, R_k) with R_k the CORRECTED pivot rows, so composing them in
+    one concatenated matmul reproduces the sequential Jordan result
+    (including the panels' own columns — no write-back needed).
     """
     n, m = X.shape
     nmax = min(n, npivcols)
     npan = -(-npivcols // panel)
-    m_pad = max(m, npan * panel)
+    # grouping trades K-1 full-width passes for small extra matmuls: a win
+    # on the MXU, a loss on the CPU backend (tests/emulation) where the
+    # small modmatmuls are relatively expensive — group only on device
+    group = PANEL_GROUP if jax.default_backend() != "cpu" else 1
+    ngrp = -(-npan // group)
+    m_pad = max(m, ngrp * group * panel)
     if m_pad != m:
         X = jnp.pad(X, ((0, 0), (0, m_pad - m)))
 
@@ -115,30 +137,42 @@ def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
     use_pallas_panel = (pallas_panel.available()
                         and pallas_panel.supported(f, n))
 
-    def do_panel(pi, carry):
-        X, is_piv, rank, prow_of, pcol_of = carry
-        j0 = pi * panel
-        P = jax.lax.dynamic_slice(X, (0, j0), (n, panel))
+    def one_panel(P, is_piv, j0):
         if use_pallas_panel:
-            P, G, prows, pcols, pfound, is_piv = (
-                pallas_panel.panel_eliminate_pallas(f, npivcols, P, is_piv,
-                                                    j0))
-        else:
-            P, G, prows, pcols, pfound, is_piv = _panel_eliminate(
-                f, P, is_piv, j0, npivcols)
-        # rank-c correction applied to every column (panel cols overwritten)
-        piv_block = X[prows, :]  # (c, m_pad); dummy slots have zero G col
-        upd = modmul.add(f, X, modmatmul(f, G, piv_block))
-        X = jax.lax.dynamic_update_slice(upd, P, (0, j0))
-        # pivots are compacted in slot order == column order within the panel
-        nfound = pfound.sum().astype(jnp.int32)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (panel,), 0)
-        slots = jnp.where(pfound, rank + slot, nmax)  # parked off-end if none
-        prow_of = prow_of.at[slots].set(jnp.where(pfound, prows, -1),
-                                        mode="drop")
-        pcol_of = pcol_of.at[slots].set(jnp.where(pfound, j0 + pcols, -1),
-                                        mode="drop")
-        rank = rank + nfound
+            return pallas_panel.panel_eliminate_pallas(f, npivcols, P,
+                                                       is_piv, j0)
+        return _panel_eliminate(f, P, is_piv, j0, npivcols)
+
+    def do_group(gi, carry):
+        X, is_piv, rank, prow_of, pcol_of = carry
+        Gs, Rs = [], []
+        for k in range(group):
+            pi = gi * group + k
+            j0 = pi * panel
+            P = jax.lax.dynamic_slice(X, (0, j0), (n, panel))
+            for l in range(k):  # window corrections from earlier panels
+                Rl_win = jax.lax.dynamic_slice(Rs[l], (0, j0),
+                                               (panel, panel))
+                P = modmul.add(f, P, modmatmul(f, Gs[l], Rl_win))
+            P, G, prows, pcols, pfound, is_piv = one_panel(P, is_piv, j0)
+            # corrected pivot rows of this panel (dummy slots: zero G col)
+            Rk = X[prows, :]
+            for l in range(k):
+                Rk = modmul.add(f, Rk, modmatmul(f, Gs[l][prows, :], Rs[l]))
+            Gs.append(G)
+            Rs.append(Rk)
+            # pivot bookkeeping (slot order == column order within panel)
+            nfound = pfound.sum().astype(jnp.int32)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (panel,), 0)
+            slots = jnp.where(pfound, rank + slot, nmax)
+            prow_of = prow_of.at[slots].set(jnp.where(pfound, prows, -1),
+                                            mode="drop")
+            pcol_of = pcol_of.at[slots].set(
+                jnp.where(pfound, j0 + pcols, -1), mode="drop")
+            rank = rank + nfound
+        Gcat = jnp.concatenate(Gs, axis=1)   # (n, K*c)
+        Rcat = jnp.concatenate(Rs, axis=0)   # (K*c, m_pad)
+        X = modmul.add(f, X, modmatmul(f, Gcat, Rcat))
         return X, is_piv, rank, prow_of, pcol_of
 
     is_piv0 = jnp.zeros((n,), bool)
@@ -146,24 +180,24 @@ def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
     pcol_of0 = jnp.full((nmax,), -1, jnp.int32)
 
     # Early exit: once every row that still has nonzeros is a pivot row,
-    # later panels are strict no-ops (no candidate rows left).  This is
+    # later groups are strict no-ops (no candidate rows left).  This is
     # what keeps rank-deficient / tall blocks from scanning all m/128
     # panels at full cost.
     def cond(carry):
-        pi, X, is_piv, rank, prow_of, pcol_of, alive = carry
-        return jnp.logical_and(pi < npan, alive)
+        gi, X, is_piv, rank, prow_of, pcol_of, alive = carry
+        return jnp.logical_and(gi < ngrp, alive)
 
     def body(carry):
-        pi, X, is_piv, rank, prow_of, pcol_of, _ = carry
-        X, is_piv, rank, prow_of, pcol_of = do_panel(
-            pi, (X, is_piv, rank, prow_of, pcol_of))
+        gi, X, is_piv, rank, prow_of, pcol_of, _ = carry
+        X, is_piv, rank, prow_of, pcol_of = do_group(
+            gi, (X, is_piv, rank, prow_of, pcol_of))
         # only pivot-eligible columns count: augmentation columns (e.g. the
         # identity when tracking the transform) never yield pivots
         row_nz = jnp.any(X[:, :npan * panel] != 0, axis=1)
         alive = jnp.logical_and(rank < nmax,
                                 jnp.any(jnp.logical_and(row_nz,
                                                         ~is_piv)))
-        return pi + 1, X, is_piv, rank, prow_of, pcol_of, alive
+        return gi + 1, X, is_piv, rank, prow_of, pcol_of, alive
 
     _, X, is_piv, rank, prow_of, pcol_of, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), X, is_piv0, jnp.int32(0), prow_of0,
