@@ -110,3 +110,21 @@ def test_certificate_rank_deficient(rng):
     cert = certificate_rank_create(A, h)
     assert cert.r <= 4
     assert certificate_rank_verify(A, h, cert)
+
+
+def test_prng_golden_vectors():
+    """The committed golden file pins SpasmPRNG's exact bitstream (the
+    (LE, STATE) convention documented in certificate.py); any drift in
+    the PRNG breaks cross-verification groundwork (tools/prng_golden.py
+    enumerates all candidate conventions for a future libspasm check)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import prng_golden
+
+    with open(prng_golden.GOLDEN) as fh:
+        committed = json.load(fh)
+    assert committed == prng_golden.build()
