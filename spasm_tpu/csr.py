@@ -26,7 +26,8 @@ from .field import DEFAULT_PRIME, Field, field
 class SparseGFp:
     """CSR sparse matrix over GF(p), canonical form."""
 
-    __slots__ = ("field", "n", "m", "indptr", "indices", "data")
+    __slots__ = ("field", "n", "m", "indptr", "indices", "data",
+                 "_rows_expanded")
 
     def __init__(self, field_, n, m, indptr, indices, data, _canonical=False):
         self.field = field_
@@ -168,8 +169,16 @@ class SparseGFp:
         return np.diff(self.indptr)
 
     def rows_expanded(self):
-        """Row index of every stored entry (length nnz)."""
-        return np.repeat(np.arange(self.n, dtype=np.int64), self.row_lengths())
+        """Row index of every stored entry (length nnz).  Cached: the
+        pivot-search strategies all need it and np.repeat at tens of M
+        entries costs ~0.1 s/call (the container is immutable by
+        convention — every mutating op builds a new SparseGFp)."""
+        cached = getattr(self, "_rows_expanded", None)
+        if cached is None:
+            cached = np.repeat(np.arange(self.n, dtype=np.int64),
+                               self.row_lengths())
+            object.__setattr__(self, "_rows_expanded", cached)
+        return cached
 
     def row(self, i):
         """(indices, values) of row i as views."""

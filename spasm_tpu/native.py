@@ -175,3 +175,66 @@ def schur_update_native(f, B, C, U):
     D = sp.csr_matrix((data, indices, outp), shape=(q, m))
     D.has_sorted_indices = True  # per-row column sort done in C
     return D
+
+
+# ---------------- scatter reductions (pivot search hot loops) --------------
+
+_F64P = ctypes.POINTER(ctypes.c_double)
+
+
+def _configure_scatter(lib):
+    for name, tp in (("scatter_min_i64", _I64P), ("scatter_min_f64", _F64P),
+                     ("scatter_max_f64", _F64P), ("scatter_add_i64", _I64P)):
+        fn = getattr(lib, name)
+        fn.restype = None
+        ct = ctypes.c_int64 if tp is _I64P else ctypes.c_double
+        fn.argtypes = [tp, ctypes.c_int64, _I64P, tp, ctypes.c_int64, ct]
+
+
+def _scatter_lib():
+    return _load("scatter_mod", _configure_scatter,
+                 extra_flags=("-fopenmp",))
+
+
+def _scatter(name, ufunc, identity, tgt, idx, val):
+    """Dispatch one scatter reduction (np.<ufunc>.at semantics, in place)
+    to the OpenMP kernel, falling back to ufunc.at."""
+    lib = _scatter_lib()
+    n = idx.shape[0]
+    if (lib is None or n < (1 << 16) or not tgt.flags.c_contiguous):
+        ufunc.at(tgt, idx, val)
+        return
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    val = np.ascontiguousarray(val, dtype=tgt.dtype)
+    ptr = _I64P if tgt.dtype == np.int64 else _F64P
+    getattr(lib, name)(
+        tgt.ctypes.data_as(ptr), tgt.shape[0],
+        idx.ctypes.data_as(_I64P), val.ctypes.data_as(ptr), n, identity)
+
+
+def scatter_min(tgt, idx, val):
+    """In-place np.minimum.at(tgt, idx, val), OpenMP-accelerated for large
+    int64/float64 operands (csrc/scatter_mod.c)."""
+    if tgt.dtype == np.int64:
+        _scatter("scatter_min_i64", np.minimum, np.iinfo(np.int64).max,
+                 tgt, idx, val)
+    elif tgt.dtype == np.float64:
+        _scatter("scatter_min_f64", np.minimum, np.inf, tgt, idx, val)
+    else:
+        np.minimum.at(tgt, idx, val)
+
+
+def scatter_max(tgt, idx, val):
+    """In-place np.maximum.at(tgt, idx, val) (float64 native path)."""
+    if tgt.dtype == np.float64:
+        _scatter("scatter_max_f64", np.maximum, -np.inf, tgt, idx, val)
+    else:
+        np.maximum.at(tgt, idx, val)
+
+
+def scatter_add(tgt, idx, val):
+    """In-place np.add.at(tgt, idx, val) (int64 native path)."""
+    if tgt.dtype == np.int64:
+        _scatter("scatter_add_i64", np.add, 0, tgt, idx, val)
+    else:
+        np.add.at(tgt, idx, val)

@@ -41,6 +41,7 @@ from __future__ import annotations
 import numpy as np
 
 from .csr import SparseGFp
+from .native import scatter_add, scatter_max, scatter_min
 
 
 def fl_row_pivots(A: SparseGFp, row_mask=None, col_mask=None):
@@ -67,7 +68,7 @@ def fl_row_pivots(A: SparseGFp, row_mask=None, col_mask=None):
         if row_mask is not None:
             sel &= row_mask[re]
         min_all = np.full(n, m, np.int64)
-        np.minimum.at(min_all, re[sel], A.indices[sel].astype(np.int64))
+        scatter_min(min_all, re[sel], A.indices[sel].astype(np.int64))
         min_col = min_all[rows]
         keep = min_col < m
         rows, min_col = rows[keep], min_col[keep]
@@ -106,13 +107,13 @@ def fl_col_pivots(A: SparseGFp, col_selected, row_used):
     # topmost unused row per column: one scatter-min over the candidate
     # entries (a lexsort here costs tens of seconds at tens of M nnz)
     min_row = np.full(m, n, np.int64)
-    np.minimum.at(min_row, j, i)
+    scatter_min(min_row, j.astype(np.int64), i)
     cols_c = np.flatnonzero(min_row < n)
     rows_c = min_row[cols_c]
     # one pivot per row: keep the smallest column for each row (same
     # result as the former sort-and-keep-first)
     min_col = np.full(n, m, np.int64)
-    np.minimum.at(min_col, rows_c, cols_c)
+    scatter_min(min_col, rows_c, cols_c)
     keep = min_col[rows_c] == cols_c
     rows_c, cols_c = rows_c[keep], cols_c[keep]
     # sort by row (rows are unique) so the reversal below yields the
@@ -120,12 +121,14 @@ def fl_col_pivots(A: SparseGFp, col_selected, row_used):
     order = np.argsort(rows_c, kind="stable")
     rows_c, cols_c = rows_c[order], cols_c[order]
     # append-invariant check vs previously selected columns (vectorized:
-    # per-row count of entries landing in already-selected columns)
-    hits = np.zeros(A.n, np.int64)
+    # per-row count of entries landing in already-selected columns;
+    # np.bincount is the fast C path for counting scatters)
     sel_entries = col_selected[A.indices]
     if sel_entries.any():
-        np.add.at(hits, A.rows_expanded()[sel_entries], 1)
-    ok = hits[rows_c] == 0
+        hits = np.bincount(A.rows_expanded()[sel_entries], minlength=A.n)
+        ok = hits[rows_c] == 0
+    else:
+        ok = np.ones(rows_c.size, bool)
     rows_c, cols_c = rows_c[ok], cols_c[ok]
     # decreasing row order
     rows_c, cols_c = rows_c[::-1].copy(), cols_c[::-1].copy()
@@ -159,11 +162,15 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
     """
     n, m = A.shape
     lengths = A.row_lengths()
-    col_counts = np.zeros(m, np.int64)
-    np.add.at(col_counts, A.indices, 1)
+    col_counts = np.bincount(A.indices, minlength=m).astype(np.int64)
     sel_r, sel_c, sel_p = [], [], []
-    re_all = A.rows_expanded()
-    ci_all = A.indices.astype(np.int64)
+    # Compress ONCE to the entries of currently-unused rows; accepted rows'
+    # entries are dropped incrementally, so every pass costs O(live
+    # entries), not O(nnz) (at 50M+ nnz the per-pass recompression used to
+    # dominate the whole pivot search).
+    keep = ~row_used[A.rows_expanded()]
+    re = A.rows_expanded()[keep]
+    ci = A.indices[keep].astype(np.int64)
 
     # Batched greedy: each pass computes every unused row's best insertable
     # column under the CURRENT state, then accepts a mutually
@@ -175,16 +182,12 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
     # rank/RREF/kernel contract is what is preserved).
     exhausted = False
     for _ in range(max(max_passes, 8)):
-        live_row = (~row_used) & (lengths > 0)
-        keep = live_row[re_all]
-        re = re_all[keep]
-        ci = ci_all[keep]
         if re.size == 0:
             exhausted = True
             break
         # p2 per row: min position over selected pivot columns in support
         p2 = np.full(n, np.inf)
-        np.minimum.at(p2, re, piv_pos_of_col[ci])
+        scatter_min(p2, re, piv_pos_of_col[ci])
         # eligible entries: free column, insertable below the row's p2
         elig = (~col_selected[ci]) & (col_touch_max[ci] < p2[re])
         if not elig.any():
@@ -196,7 +199,7 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
         # per-row best column: minimize (col_count, col) — composite key
         key = col_counts[ci_e] * (m + 1) + ci_e
         best_key = np.full(n, np.iinfo(np.int64).max)
-        np.minimum.at(best_key, re_e, key)
+        scatter_min(best_key, re_e, key)
         rows_c = np.unique(re_e)
         j_of = (best_key[rows_c] % (m + 1)).astype(np.int64)
         # priority = weight rank (ties by row index for determinism)
@@ -207,16 +210,16 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
         # min candidate rank touching each column (via supports)
         mc = np.full(m, np.iinfo(np.int64).max)
         cand_mask = rank_of_row[re] < np.iinfo(np.int64).max
-        np.minimum.at(mc, ci[cand_mask], rank_of_row[re[cand_mask]])
+        re_c, ci_c = re[cand_mask], ci[cand_mask]
+        scatter_min(mc, ci_c, rank_of_row[re_c])
         # also columns CHOSEN by candidates (choice may differ from mere
         # touch only in priority, supports already cover chosen cols)
         # accept: my rank is strictly the smallest over every column of my
         # support (so no lighter accepted row interacts with me), and I am
         # the unique chooser of my column at that rank
         viol = np.zeros(n, np.int64)
-        np.add.at(viol, re[cand_mask],
-                  (mc[ci[cand_mask]]
-                   < rank_of_row[re[cand_mask]]).astype(np.int64))
+        scatter_add(viol, re_c,
+                    (mc[ci_c] < rank_of_row[re_c]).astype(np.int64))
         acc = viol[rows_c] == 0
         rows_a, j_a = rows_c[acc], j_of[acc]
         if rows_a.size == 0:
@@ -238,10 +241,12 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
         q_of_row = np.full(n, -np.inf)
         q_of_row[rows_a] = q
         in_acc = q_of_row[re] > -np.inf
-        np.maximum.at(col_touch_max, ci[in_acc], q_of_row[re[in_acc]])
+        scatter_max(col_touch_max, ci[in_acc], q_of_row[re[in_acc]])
         sel_r.append(rows_a)
         sel_c.append(j_a)
         sel_p.append(q)
+        # drop the accepted rows' entries (rows only ever become used)
+        re, ci = re[~in_acc], ci[~in_acc]
     # sequential mop-up on a bounded set of remaining candidates: the
     # batched acceptance is conservative on cascade/chain structures
     # (heavily overlapping supports) where the fractional-insertion rule
@@ -337,7 +342,8 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True):
             re = A.rows_expanded()
             touch = pos_of_row[re]
             live = np.isfinite(touch)
-            np.maximum.at(col_touch_max, A.indices[live], touch[live])
+            scatter_max(col_touch_max, A.indices[live].astype(np.int64),
+                        touch[live])
         g_r, g_c, g_p = greedy_pivots(A, col_selected, row_used, pos,
                                       piv_pos_of_col, col_touch_max)
         rows = np.concatenate([rows, g_r])
