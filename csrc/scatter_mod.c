@@ -78,5 +78,23 @@ void NAME(T *tgt, int64_t ntgt, const int64_t *idx, const T *val,       \
 
 DEFINE_SCATTER(scatter_min_i64, int64_t, MIN_OP)
 DEFINE_SCATTER(scatter_min_f64, double, MIN_OP)
+DEFINE_SCATTER(scatter_max_i64, int64_t, MAX_OP)
 DEFINE_SCATTER(scatter_max_f64, double, MAX_OP)
 DEFINE_SCATTER(scatter_add_i64, int64_t, ADD_OP)
+
+/* Longest-path levels over an elimination DAG whose edges (src -> dst)
+ * satisfy src < dst and arrive sorted by src ascending (the natural
+ * rows_expanded order of pivot_graph_edges).  Because every edge INTO a
+ * node s has source < s, by the time the scan reaches edges with src == s
+ * the value levels[s] is final — so one sequential pass replaces the
+ * depth-many vectorized fixpoint iterations of the NumPy path.
+ * levels must be zero-initialized by the caller. */
+void levels_from_sorted_edges(const int64_t *src, const int64_t *dst,
+                              int64_t ne, int64_t *levels)
+{
+    for (int64_t k = 0; k < ne; k++) {
+        int64_t cand = levels[src[k]] + 1;
+        if (cand > levels[dst[k]])
+            levels[dst[k]] = cand;
+    }
+}

@@ -132,5 +132,5 @@ def load_lu(path: str):
                   U=U, qinv=z["qinv"].astype(np.int64),
                   p=z["p_vec"].astype(np.int64),
                   piv_cols=z["piv_cols"].astype(np.int64), L=L,
-                  levels=z["levels"].astype(np.int64),
+                  _levels=z["levels"].astype(np.int64),
                   dense_piv_start=None if dps < 0 else dps)

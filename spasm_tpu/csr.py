@@ -85,17 +85,18 @@ class SparseGFp:
         (src/SpaSM.jl:941-968) minus the transpose quirk: no transposition
         happens here, row-major in == row-major out.
 
-        assume_canonical=True skips re-canonicalization (valid for
-        sputil.mod_reduce output: balanced values, sorted indices, no
-        explicit zeros) — the lexsort is the dominant cost at millions of
-        nnz."""
+        assume_canonical=True skips re-canonicalization AND the value
+        re-reduction (valid for sputil.mod_reduce output: balanced values,
+        sorted indices, no explicit zeros) — the lexsort and the mod pass
+        are the dominant costs at tens of millions of nnz."""
         import scipy.sparse as sp
 
         f = field(p)
         mat = sp.csr_matrix(mat)
+        data = (mat.data if assume_canonical else f.normalize(mat.data))
         return cls(f, mat.shape[0], mat.shape[1], mat.indptr.astype(np.int64),
                    mat.indices.astype(np.int32),
-                   f.normalize(mat.data).astype(np.int32),
+                   data.astype(np.int32, copy=False),
                    _canonical=assume_canonical)
 
     @classmethod

@@ -156,7 +156,9 @@ class LU:
     p: np.ndarray          # (r,) pivot index -> original row of A
     piv_cols: np.ndarray   # (r,) pivot index -> column
     L: "SparseGFp | None"  # (n, r) with A == L @ U, if requested
-    levels: np.ndarray     # (r,) wave level of each pivot
+    # (r,) wave level of each pivot — computed lazily on first use (the
+    # solve paths need it; a rank-only call never pays for it)
+    _levels: "np.ndarray | None" = None
     # pivots >= dense_piv_start come from the dense (Jordan RREF) finish:
     # their L[p] block is a general invertible matrix, not triangular —
     # solves treat it densely (solve.py).  None = no dense block.
@@ -165,6 +167,12 @@ class LU:
     @property
     def rank(self) -> int:
         return self.r
+
+    @property
+    def levels(self) -> np.ndarray:
+        if self._levels is None:
+            self._levels = compute_levels(self.U, self.piv_cols)
+        return self._levels
 
     def __repr__(self):
         return (f"LU: rank {self.r}, complete {self.complete}, "
@@ -406,7 +414,9 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     # ---------------- finish ----------------
     if S.shape[0] and S.nnz:
         nrows = int((np.diff(S.indptr) > 0).sum())
-        alive_cols = np.unique(S.indices)
+        alive_mask = np.zeros(S.shape[1], bool)
+        alive_mask[S.indices] = True
+        alive_cols = np.flatnonzero(alive_mask)
         dens = S.nnz / max(1, nrows * alive_cols.size)
         aspect = S.shape[0] / max(1, S.shape[1])
         log(f"[echelonize] finishing; density = {dens:.3f}; "
@@ -464,7 +474,6 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     U = SparseGFp.from_scipy(U_sp, f.p, assume_canonical=True)
     qinv = np.full(m, -1, np.int64)
     qinv[piv_cols] = np.arange(r)
-    levels = compute_levels(U, piv_cols)
 
     L = None
     if opts.L:
@@ -479,7 +488,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         L = SparseGFp.from_coo(f, n, r, li, lj, lv, sum_duplicates=False)
 
     fact = LU(field=f, n=n, m=m, r=r, complete=False, U=U, qinv=qinv,
-              p=p_vec, piv_cols=piv_cols, L=L, levels=levels,
+              p=p_vec, piv_cols=piv_cols, L=L,
               dense_piv_start=dense_piv_start)
     if opts.complete:
         from .solve import rref_of_U, rref_qinv_of  # cycle-free import
@@ -502,7 +511,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         order = np.argsort(piv_cols, kind="stable")
         fact = dataclasses.replace(
             fact, U=R, complete=True, qinv=qinv_c, piv_cols=piv_cols_c,
-            p=p_vec[order], levels=np.zeros(r, np.int64), L=L_c,
+            p=p_vec[order], _levels=np.zeros(r, np.int64), L=L_c,
             dense_piv_start=0 if opts.L else None)  # L_c is not triangular
     log(f"[echelonize] Done in {wtime() - t_start:.1f}s. Rank {r}, "
         f"{U.nnz} nz in basis")
@@ -628,7 +637,11 @@ def _dense_feasible(S, opts) -> bool:
     import jax
 
     nrows = int((np.diff(S.indptr) > 0).sum())
-    na = np.unique(S.indices).size
+    # alive-column COUNT via a boolean mask: np.unique's sort costs >1 s
+    # at 50M nnz, the mask is a single O(nnz) pass
+    alive = np.zeros(S.shape[1], bool)
+    alive[S.indices] = True
+    na = int(alive.sum())
     budget = opts.dense_budget
     if jax.default_backend() == "cpu":
         budget = min(budget, 2_000_000)

@@ -50,12 +50,20 @@ def compute_levels(U, piv_cols, require_order=True):
     src, dst = pivot_graph_edges(U, piv_cols)
     if require_order and src.size and not (src < dst).all():
         raise ValueError("pivot list is not in elimination order")
+    # edges arrive sorted by src (rows_expanded order), and src < dst, so
+    # ONE sequential pass computes exact longest-path levels (the native
+    # kernel); the vectorized fixpoint below is the fallback.
+    from .native import levels_from_sorted_edges, scatter_max
+
+    levels = levels_from_sorted_edges(src, dst, r)
+    if levels is not None:
+        return levels
     levels = np.zeros(r, np.int64)
     # longest-path by fixpoint: depth iterations, each fully vectorized
     for _ in range(r + 1):
         cand = levels[src] + 1
         new = levels.copy()
-        np.maximum.at(new, dst, cand)
+        scatter_max(new, dst, cand)
         if np.array_equal(new, levels):
             return levels
         levels = new
@@ -118,6 +126,13 @@ def mutual_reduce(f: Field, U_sp, piv_cols, levels,
     # against it in one product.  The active prefix shrinks every sweep;
     # finalized level blocks are stacked ONCE at the end (a per-sweep
     # vstack would copy the whole matrix depth times).
+    out = _mutual_reduce_native(f, W, pc_sorted, offs, depth, nnz_cap)
+    if out is not None:
+        W2, ok = out
+        if not ok:
+            return U_sp, False
+        inv_order = np.argsort(order, kind="stable")
+        return W2[inv_order], True
     final_blocks = []
     nnz_final = 0
     for t in range(depth - 1, 0, -1):
@@ -133,6 +148,52 @@ def mutual_reduce(f: Field, U_sp, piv_cols, levels,
     W = sp.vstack([W] + final_blocks[::-1], format="csr")
     inv_order = np.argsort(order, kind="stable")
     return W[inv_order], True
+
+
+def _mutual_reduce_native(f, W, pc_sorted, offs, depth, nnz_cap):
+    """Backward sweep of mutual_reduce on raw CSR triples via the ranged
+    qinv-driven C kernel (csrc/schur_mod.c): the prefix is never sliced and
+    the per-level coefficient submatrix is never materialized — the kernel
+    reads coefficients off the rows themselves.  Returns (W_reduced, ok)
+    with rows still in level-sorted order, or None when the native library
+    is unavailable (caller falls back to the scipy sweep)."""
+    from .native import schur_update_ranged_native
+
+    r, m = W.shape
+    qinv_glob = np.full(m, -1, np.int64)
+    qinv_glob[pc_sorted] = np.arange(r)
+    Pp = W.indptr.astype(np.int64, copy=False)
+    Pj = W.indices
+    Px = W.data.astype(np.int64, copy=False)
+    final_blocks = []  # (local indptr, indices, data) per level, desc
+    nnz_final = 0
+    for t in range(depth - 1, 0, -1):
+        lo, hi = int(offs[t]), int(offs[t + 1])
+        b0, b1 = int(Pp[lo]), int(Pp[hi])
+        final_blocks.append((np.asarray(Pp[lo:hi + 1]) - b0,
+                             Pj[b0:b1], Px[b0:b1]))
+        nnz_final += b1 - b0
+        out = schur_update_ranged_native(f, Pp, Pj, Px, lo, m, qinv_glob,
+                                         lo, hi)
+        if out is None:
+            return None
+        Pp, Pj, Px = out
+        if nnz_cap is not None and int(Pp[-1]) + nnz_final > nnz_cap:
+            return W, False
+    # assemble: reduced level-0 prefix, then the finalized blocks in
+    # ascending level order
+    parts = [(Pp, Pj, Px)] + final_blocks[::-1]
+    indptr = [np.zeros(1, np.int64)]
+    base = 0
+    for pp, _, _ in parts:
+        indptr.append(np.asarray(pp[1:], np.int64) + base)
+        base += int(pp[-1])
+    indptr = np.concatenate(indptr)
+    indices = np.concatenate([pj for _, pj, _ in parts])
+    data = np.concatenate([px for _, _, px in parts])
+    W2 = sp.csr_matrix((data, indices, indptr), shape=(r, m))
+    W2.has_sorted_indices = True
+    return W2, True
 
 
 def eliminate_against_reduced(f: Field, Ustar, piv_cols, B_sp,

@@ -184,7 +184,8 @@ _F64P = ctypes.POINTER(ctypes.c_double)
 
 def _configure_scatter(lib):
     for name, tp in (("scatter_min_i64", _I64P), ("scatter_min_f64", _F64P),
-                     ("scatter_max_f64", _F64P), ("scatter_add_i64", _I64P)):
+                     ("scatter_max_i64", _I64P), ("scatter_max_f64", _F64P),
+                     ("scatter_add_i64", _I64P)):
         fn = getattr(lib, name)
         fn.restype = None
         ct = ctypes.c_int64 if tp is _I64P else ctypes.c_double
@@ -225,8 +226,11 @@ def scatter_min(tgt, idx, val):
 
 
 def scatter_max(tgt, idx, val):
-    """In-place np.maximum.at(tgt, idx, val) (float64 native path)."""
-    if tgt.dtype == np.float64:
+    """In-place np.maximum.at(tgt, idx, val) (int64/float64 native)."""
+    if tgt.dtype == np.int64:
+        _scatter("scatter_max_i64", np.maximum, np.iinfo(np.int64).min,
+                 tgt, idx, val)
+    elif tgt.dtype == np.float64:
         _scatter("scatter_max_f64", np.maximum, -np.inf, tgt, idx, val)
     else:
         np.maximum.at(tgt, idx, val)
@@ -238,3 +242,82 @@ def scatter_add(tgt, idx, val):
         _scatter("scatter_add_i64", np.add, 0, tgt, idx, val)
     else:
         np.add.at(tgt, idx, val)
+
+
+def _configure_levels(lib):
+    fn = lib.levels_from_sorted_edges
+    fn.restype = None
+    fn.argtypes = [_I64P, _I64P, ctypes.c_int64, _I64P]
+
+
+def levels_from_sorted_edges(src, dst, r):
+    """Longest-path levels for a src-ascending-sorted edge list with
+    src < dst (one sequential C pass; see csrc/scatter_mod.c).  Returns
+    None when the native library is unavailable."""
+    lib = _load("scatter_mod", _configure_scatter,
+                extra_flags=("-fopenmp",))
+    if lib is None:
+        return None
+    if not hasattr(lib, "_levels_configured"):
+        _configure_levels(lib)
+        lib._levels_configured = True
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    levels = np.zeros(r, np.int64)
+    lib.levels_from_sorted_edges(
+        src.ctypes.data_as(_I64P), dst.ctypes.data_as(_I64P),
+        src.shape[0], levels.ctypes.data_as(_I64P))
+    return levels
+
+
+def _configure_schur_ranged(lib):
+    fn = lib.spasm_tpu_schur_update_ranged
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                   ctypes.c_int64,
+                   _I64P, _I32P, _I64P,
+                   _I64P, ctypes.c_int64, ctypes.c_int64,
+                   _I64P,
+                   ctypes.POINTER(_I32P), ctypes.POINTER(_I64P)]
+
+
+def schur_update_ranged_native(f, Pp, Pj, Px, q, m, qinv, klo, khi):
+    """D = P[0:q] - coeffs @ P[klo:khi] with coefficients read off P via
+    qinv (csrc/schur_mod.c ranged variant — no prefix/coefficient
+    materialization).  Returns (indptr, indices, data) with int64/int32/
+    int64 dtypes, or None when the native library is unavailable."""
+    lib = _load("schur_mod", _configure_schur, extra_flags=("-fopenmp",))
+    if lib is None:
+        return None
+    if not hasattr(lib, "_ranged_configured"):
+        _configure_schur_ranged(lib)
+        lib._ranged_configured = True
+    Pp = np.ascontiguousarray(Pp, dtype=np.int64)
+    Pj = np.ascontiguousarray(Pj, dtype=np.int32)
+    Px = np.ascontiguousarray(Px, dtype=np.int64)
+    qinv = np.ascontiguousarray(qinv, dtype=np.int64)
+    halfp = f.halfp
+    safe_t = (1 << 62) // max(1, halfp * halfp)
+    max_terms = 2 + int(np.diff(Pp[:q + 1]).max(initial=0))
+    reduce_each = 0 if max_terms < safe_t else 1
+    outp = np.zeros(q + 1, dtype=np.int64)
+    out_j = _I32P()
+    out_x = _I64P()
+    total = lib.spasm_tpu_schur_update_ranged(
+        q, m, f.p, reduce_each,
+        Pp.ctypes.data_as(_I64P), Pj.ctypes.data_as(_I32P),
+        Px.ctypes.data_as(_I64P),
+        qinv.ctypes.data_as(_I64P), klo, khi,
+        outp.ctypes.data_as(_I64P),
+        ctypes.byref(out_j), ctypes.byref(out_x))
+    if total < 0:
+        return None
+    try:
+        indices = np.ctypeslib.as_array(out_j, shape=(max(total, 1),))[
+            :total].astype(np.int32, copy=True)
+        data = np.ctypeslib.as_array(out_x, shape=(max(total, 1),))[
+            :total].copy()
+    finally:
+        lib.spasm_tpu_free(out_j)
+        lib.spasm_tpu_free(out_x)
+    return outp, indices, data

@@ -1,0 +1,106 @@
+"""Native (C/OpenMP) kernel equivalence vs the NumPy/scipy fallbacks.
+
+The scatter reductions, the one-pass levels kernel, and the ranged
+mutual-reduce sweep (csrc/scatter_mod.c, csrc/schur_mod.c) must agree
+bit-for-bit with the pure-Python paths they accelerate."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from spasm_tpu import elimination as E
+from spasm_tpu import native as N
+from spasm_tpu.csr import SparseGFp
+from spasm_tpu.field import field
+
+
+@pytest.fixture
+def no_native():
+    os.environ["SPASM_TPU_NO_NATIVE"] = "1"
+    N._libs.clear()
+    yield
+    del os.environ["SPASM_TPU_NO_NATIVE"]
+    N._libs.clear()
+
+
+def test_scatter_matches_ufunc_at():
+    rng = np.random.default_rng(0)
+    for n, m in [(50, 7), (1 << 17, 1 << 10)]:
+        idx = rng.integers(0, m, n)
+        vi = rng.integers(-(1 << 40), 1 << 40, n)
+        vf = rng.standard_normal(n)
+        for fn, ufunc, tgt in [
+                (N.scatter_min, np.minimum, rng.integers(-5, 5, m)),
+                (N.scatter_max, np.maximum, rng.integers(-5, 5, m)),
+                (N.scatter_add, np.add, rng.integers(-5, 5, m)),
+                (N.scatter_min, np.minimum, rng.standard_normal(m)),
+                (N.scatter_max, np.maximum, rng.standard_normal(m))]:
+            val = vi if tgt.dtype == np.int64 else vf
+            a, b = tgt.copy(), tgt.copy()
+            fn(a, idx, val)
+            ufunc.at(b, idx, val)
+            assert np.array_equal(a, b)
+
+
+def test_levels_one_pass_matches_fixpoint():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        r = int(rng.integers(2, 200))
+        ne = int(rng.integers(1, 4 * r))
+        src = rng.integers(0, r - 1, ne)
+        dst = (src + 1 + rng.integers(0, 5, ne)).clip(max=r - 1)
+        keep = src < dst
+        src, dst = np.sort(src[keep]), dst[keep][np.argsort(src[keep],
+                                                            kind="stable")]
+        got = N.levels_from_sorted_edges(src, dst, r)
+        if got is None:
+            pytest.skip("no C compiler")
+        exp = np.zeros(r, np.int64)
+        for _ in range(r + 1):
+            new = exp.copy()
+            np.maximum.at(new, dst, exp[src] + 1)
+            if np.array_equal(new, exp):
+                break
+            exp = new
+        assert np.array_equal(got, exp)
+
+
+def _random_pivot_block(rng, f):
+    r = int(rng.integers(5, 60))
+    m = r + int(rng.integers(0, 40))
+    perm = np.sort(rng.permutation(m)[:r])
+    rows, cols, vals = [], [], []
+    for k in range(r):
+        rows.append(k), cols.append(perm[k]), vals.append(1)
+        later = np.arange(perm[k] + 1, m)
+        extra = rng.choice(later, size=min(int(rng.integers(0, 5)),
+                                           later.size), replace=False)
+        for c in extra:
+            rows.append(k), cols.append(int(c))
+            vals.append(int(rng.integers(1, f.p)))
+    U = sp.csr_matrix((f.normalize(np.array(vals)), (rows, cols)),
+                      shape=(r, m)).astype(np.int64)
+    return U, perm
+
+
+def test_mutual_reduce_native_matches_scipy(no_native):
+    rng = np.random.default_rng(2)
+    f = field(42013)
+    cases = []
+    for _ in range(10):
+        U, pc = _random_pivot_block(rng, f)
+        levels = E.compute_levels(SparseGFp.from_scipy(U, f.p), pc)
+        ref, ok = E.mutual_reduce(f, U, pc, levels, fill_cap=None)
+        assert ok
+        cases.append((U, pc, levels, sp.csr_matrix(ref)))
+    del os.environ["SPASM_TPU_NO_NATIVE"]
+    N._libs.clear()
+    if N._scatter_lib() is None:
+        pytest.skip("no C compiler")
+    for U, pc, levels, ref in cases:
+        got, ok = E.mutual_reduce(f, U, pc, levels, fill_cap=None)
+        assert ok
+        assert (sp.csr_matrix(got) != ref).nnz == 0
+    os.environ["SPASM_TPU_NO_NATIVE"] = "1"  # fixture cleanup symmetry
