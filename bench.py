@@ -2,9 +2,10 @@
 """Headline benchmark: rank of a random sparse 10k x 10k matrix over
 GF(42013) at density 1e-3 (BASELINE.json config #2), end-to-end through the
 public API on whatever jax backend is present (the real TPU chip under the
-driver).  A structured homology case (boundary matrix of the full simplex,
-the reference's real domain — GL7d/relat-class stand-in) is measured too
-and reported in the detail payload.
+driver).  Two structured homology cases (boundary matrices of the full
+simplex, the reference's real domain — GL7d/relat-class stand-ins) are
+measured too and reported in the detail payload: d7 (2.56M nnz) and the
+GL7d-scale d9 (53.1M nnz).
 
 Prints ONE JSON line:
   {"metric": ..., "value": nnz/s, "unit": "nnz/s", "vs_baseline": ratio,
@@ -25,7 +26,6 @@ reference publishes no numbers of its own (BASELINE.md), and its CLI tools
 are not available in this environment to measure directly.
 """
 
-import itertools
 import json
 import sys
 import time
@@ -36,27 +36,15 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 import spasm_tpu as st
+from spasm_tpu.fixtures import simplex_boundary
 
 N = 10_000
 DENSITY = 1e-3
 SEED = 20240816
 TARGET_NNZ_PER_S = 10e6  # north-star: 10x est. 1M nnz/s single-core SpaSM
 BOUNDARY_N, BOUNDARY_K = 22, 7  # 319770 x 170544, 2.56M nnz, rank C(21,7)
-
-
-def boundary(n, k, p=42013):
-    """k-th boundary matrix of the full simplex on n vertices (exact rank
-    C(n-1, k)) — the homology-domain structured case."""
-    rows = list(itertools.combinations(range(n), k + 1))
-    cols = {c: i for i, c in enumerate(itertools.combinations(range(n), k))}
-    ii, jj, vv = [], [], []
-    for ri, face in enumerate(rows):
-        for t in range(k + 1):
-            ii.append(ri)
-            jj.append(cols[face[:t] + face[t + 1:]])
-            vv.append((-1) ** t)
-    return st.SparseGFp.from_coo(st.field(p), len(rows), len(cols),
-                                 ii, jj, vv)
+# d9-scale case (GL7d-class size): 5,311,735 x 3,124,550, 53.1M nnz
+LARGE_N, LARGE_K = 26, 9
 
 
 def warm_device_channel():
@@ -89,7 +77,7 @@ def main():
     wall = min(runs)
     value = A.nnz / wall
 
-    B = boundary(BOUNDARY_N, BOUNDARY_K)
+    B = simplex_boundary(BOUNDARY_N, BOUNDARY_K)
     runs_b = []
     rb = None
     for _ in range(3):  # host-phase wall noise on this VM is 2-5x
@@ -98,6 +86,23 @@ def main():
         runs_b.append(round(time.time() - t0, 3))
     wall_b = min(runs_b)
     assert rb == comb(BOUNDARY_N - 1, BOUNDARY_K), rb
+
+    # d9-scale structured case: 53M nnz, the reference's GL7d-class size
+    C = simplex_boundary(LARGE_N, LARGE_K)
+    runs_c = []
+    rc = None
+    for _ in range(2):  # ~10 s/run; 2 reps bound the VM's iowait noise
+        t0 = time.time()
+        rc = st.rank(C)
+        runs_c.append(round(time.time() - t0, 3))
+    wall_c = min(runs_c)
+    assert rc == comb(LARGE_N - 1, LARGE_K), rc
+    large_detail = {
+        "case": f"simplex boundary d{LARGE_K} on {LARGE_N} vertices",
+        "shape": list(C.shape), "nnz": C.nnz, "rank": rc,
+        "wall_s": wall_c, "runs_s": runs_c,
+        "nnz_per_s": round(C.nnz / wall_c, 1),
+    }
 
     print(json.dumps({
         "metric": f"rank {N}x{N} d={DENSITY} mod 42013 throughput",
@@ -113,6 +118,7 @@ def main():
                 "wall_s": wall_b, "runs_s": runs_b,
                 "nnz_per_s": round(B.nnz / wall_b, 1),
             },
+            "structured_large": large_detail,
         },
     }))
 

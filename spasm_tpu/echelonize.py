@@ -69,16 +69,15 @@ class EchelonizeOptions:
     # sparse waves (ops/sparse_device) above this nnz; 0 disables.
     # Requires opts.L == False (coefficient recording stays on host).
     device_sparse_min_nnz: int = 0
-    # TPU-specific: fully device-resident FL rounds (ops/resident) before
-    # the host round loop.  "auto" enables them on an accelerator backend
-    # when nnz >= device_rounds_min_nnz; True forces (tests), False
-    # disables.  Requires opts.L == False.
-    device_rounds: "str | bool" = "auto"
-    # Measured on v5e (axon link): each resident round costs ~1 link sync;
-    # host scipy rounds beat that up to millions of nnz (random 10k/1e-3:
-    # host 1.9s vs resident 5.9s warm), so the auto gate only engages where
-    # per-round host SpGEMM work dominates the sync latency.
-    device_rounds_min_nnz: int = 5_000_000
+    # TPU-specific, EXPERIMENTAL (manual-only): fully device-resident FL
+    # rounds (ops/resident) before the host round loop.  Exact and
+    # chip-validated, but the sort-based waves (~1.4 s/wave at 2^25
+    # pools) lose to the native host round loop at every pool size inside
+    # the validated envelope (device_rounds_max_pool), so there is no
+    # size window where auto-engagement would win — set True explicitly
+    # to force the path (tests / future economics).  Requires
+    # opts.L == False and p < 2^31.
+    device_rounds: bool = False
     # TPU-specific: on an accelerator backend, switch to the dense finish
     # at a LOWER estimated Schur density whenever it fits the dense
     # budget — the MXU makes the dense finish far cheaper relative to
@@ -298,8 +297,16 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         log(f"[echelonize] round {round_idx}")
         Sw = SparseGFp.from_scipy(S, f.p, assume_canonical=True)
         t0 = wtime()
+        fl = None
+        if mesh is not None:
+            # distributed FL election over the mesh (two pmin all-reduces);
+            # bit-identical to the host fl_row_pivots, so the FL-cols +
+            # greedy completion below proceed unchanged on the residual
+            from .parallel.sparse_sharded import sharded_fl_election
+
+            fl = sharded_fl_election(f, mesh, Sw)
         prows, pcols, counts = find_structural_pivots(
-            Sw, enable_greedy=opts.enable_greedy_pivot_search)
+            Sw, enable_greedy=opts.enable_greedy_pivot_search, fl=fl)
         log(f"[pivots] Faugère-Lachartre: {counts['faugere-lachartre']} "
             f"pivots found [{wtime() - t0:.1f}s]")
         log(f"[pivots] ``Faugère-Lachartre on columns'': "
@@ -608,16 +615,11 @@ def _dense_finish_from_device(f: Field, res, row_origin, opts, m):
 
 
 def _device_rounds_enabled(opts, f: Field, S) -> bool:
-    if opts.L or opts.device_rounds is False:
+    if opts.L or not opts.device_rounds:
         return False
     if f.p > (1 << 31) - 1:  # device modular arithmetic range
         return False
-    if opts.device_rounds is True:
-        return True
-    import jax
-
-    return (jax.default_backend() != "cpu"
-            and S.nnz >= opts.device_rounds_min_nnz)
+    return True
 
 
 def _on_accelerator() -> bool:

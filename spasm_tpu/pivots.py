@@ -309,13 +309,18 @@ def _greedy_sequential(A, col_selected, row_used, piv_pos_of_col,
             np.array(sel_p, np.float64))
 
 
-def find_structural_pivots(A: SparseGFp, enable_greedy=True):
+def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None):
     """One round of structural pivot selection on the (current Schur) matrix
     A.  Returns (rows, cols, counts_by_strategy) with the global list in
     append-invariant order: FL pivots (by column), then greedy completions.
+
+    fl: optionally a precomputed FL-row pivot set (rows, cols) in
+    increasing-column order — e.g. from the distributed device election
+    (parallel.sparse_sharded.sharded_fl_election), which is bit-identical
+    to ``fl_row_pivots``.
     """
     n, m = A.shape
-    fl_r, fl_c = fl_row_pivots(A)
+    fl_r, fl_c = fl if fl is not None else fl_row_pivots(A)
     # verify/enforce the append invariant for the FL set: row k must have no
     # entries in earlier FL pivot columns.  Leftmost-column construction
     # guarantees it (entries of row k all lie at columns >= its pivot col,

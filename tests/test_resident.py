@@ -53,9 +53,22 @@ def test_resident_big_p_disabled(rng):
     # p >= 2**31: device arithmetic unsupported -> silently host path
     f2 = field(4294967291)
     A = SparseGFp.rand(f2, 60, 60, 0.05, rng)
-    fa = echelonize(A, device_rounds="auto")
+    fa = echelonize(A, device_rounds=True)
     fb = echelonize(A, device_rounds=False)
     assert fa.r == fb.r
+
+
+def test_resident_manual_only_default():
+    # The option is experimental/manual-only: the shipped default must be
+    # off (the resident waves lose to the host loop at every validated
+    # pool size — see EchelonizeOptions.device_rounds docstring).
+    from spasm_tpu.echelonize import EchelonizeOptions, _device_rounds_enabled
+    opts = EchelonizeOptions()
+    assert opts.device_rounds is False
+    # When forced, the gate must be reachable for in-range primes.
+    opts.device_rounds = True
+    A = SparseGFp.rand(F, 20, 20, 0.1, np.random.default_rng(0))
+    assert _device_rounds_enabled(opts, F, A.to_scipy())
 
 
 def test_resident_L_falls_back(rng):

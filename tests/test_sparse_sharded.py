@@ -9,8 +9,10 @@ import jax
 from spasm_tpu import SparseGFp, field
 from spasm_tpu.elimination import compute_levels, wave_eliminate
 from spasm_tpu.parallel.sharded import make_mesh
-from spasm_tpu.parallel.sparse_sharded import sharded_sparse_eliminate
-from spasm_tpu.pivots import find_structural_pivots
+from spasm_tpu.parallel.sparse_sharded import (sharded_fl_election,
+                                               sharded_sparse_eliminate,
+                                               shard_rows)
+from spasm_tpu.pivots import find_structural_pivots, fl_row_pivots
 
 F = field(42013)
 
@@ -76,6 +78,54 @@ def test_echelonize_with_mesh(mesh, rng):
     from spasm_tpu.solve import rref_of_U
 
     A = SparseGFp.rand(F, 64, 64, 0.05, rng)
+    f_mesh = echelonize(A, mesh=mesh)
+    f_host = echelonize(A)
+    assert f_mesh.r == f_host.r
+    assert rref_of_U(f_mesh) == rref_of_U(f_host)
+
+
+def test_shard_rows_roundtrip(rng):
+    B = SparseGFp.rand(F, 37, 29, 0.11, rng)
+    rows_l, cols_l, vals_l, per = shard_rows(B, 4, 1 << 9)
+    ii, jj, vv = [], [], []
+    for s in range(4):
+        keep = rows_l[s] < per
+        ii.append(rows_l[s][keep].astype(np.int64) + s * per)
+        jj.append(cols_l[s][keep])
+        vv.append(vals_l[s][keep])
+    got = SparseGFp.from_coo(F, B.n, B.m, np.concatenate(ii),
+                             np.concatenate(jj), np.concatenate(vv),
+                             sum_duplicates=False)
+    assert got == B
+
+
+@pytest.mark.parametrize("n,m,d", [(64, 70, 0.08), (120, 90, 0.04)])
+def test_fl_election_matches_host(mesh, rng, n, m, d):
+    A = SparseGFp.rand(F, n, m, d, rng)
+    dr, dc = sharded_fl_election(F, mesh, A)
+    hr, hc = fl_row_pivots(A)
+    np.testing.assert_array_equal(dr, hr)
+    np.testing.assert_array_equal(dc, hc)
+
+
+def test_fl_election_shard_count_invariant(rng):
+    from spasm_tpu.fixtures import simplex_boundary
+
+    A = simplex_boundary(9, 4)  # structured: FL finds most pivots
+    hr, hc = fl_row_pivots(A)
+    for nd in (1, 2, 4, 8):
+        dr, dc = sharded_fl_election(F, make_mesh(nd), A)
+        np.testing.assert_array_equal(dr, hr)
+        np.testing.assert_array_equal(dc, hc)
+
+
+def test_echelonize_mesh_uses_device_election(mesh, rng):
+    # end-to-end: the mesh path (device election + sharded Schur) agrees
+    # with the host path on rank and canonical RREF
+    from spasm_tpu import echelonize
+    from spasm_tpu.solve import rref_of_U
+
+    A = SparseGFp.rand(F, 96, 80, 0.05, rng)
     f_mesh = echelonize(A, mesh=mesh)
     f_host = echelonize(A)
     assert f_mesh.r == f_host.r

@@ -74,6 +74,50 @@ def worker(pid: int, nproc: int, port: int):
                        + valid_l.tobytes()).hexdigest()
     print(f"WORKER {pid} npiv={npiv} panel_sha={h[:16]}", flush=True)
 
+    # ---- sparse path: device FL election + sharded sparse Schur +
+    # full mesh echelonize, all across the two processes ----
+    from spasm_tpu import SparseGFp, echelonize
+    from spasm_tpu.elimination import compute_levels, wave_eliminate
+    from spasm_tpu.parallel.sparse_sharded import (sharded_fl_election,
+                                                   sharded_sparse_eliminate)
+    from spasm_tpu.pivots import fl_row_pivots
+    from spasm_tpu.solve import rref_of_U
+    import scipy.sparse as sp
+
+    rng2 = np.random.default_rng(7)  # same seed: same global matrix
+    A = SparseGFp.rand(f, 96, 88, 0.06, rng2)
+    er, ec = sharded_fl_election(f, mesh, A)
+    hr, hc = fl_row_pivots(A)
+    assert np.array_equal(er, hr) and np.array_equal(ec, hc), \
+        "distributed election != host FL"
+    # sharded sparse Schur update vs the host wave oracle
+    npv = er.size
+    S = A.to_scipy()
+    Up = sp.csr_matrix(S[er])
+    vals = np.asarray(Up[np.arange(npv), ec]).ravel()
+    row_of = np.repeat(np.arange(npv), np.diff(Up.indptr))
+    Up.data = f.normalize(Up.data * f.inv(vals)[row_of])
+    U_blk = SparseGFp.from_scipy(Up, f.p)
+    levels = compute_levels(U_blk, ec)
+    rest = np.setdiff1d(np.arange(A.n), er)
+    B = SparseGFp.from_scipy(sp.csr_matrix(S[rest]), f.p)
+    got = sharded_sparse_eliminate(f, mesh, U_blk, ec, levels, B)
+    want_sp, _ = wave_eliminate(f, U_blk.to_scipy(), ec, levels,
+                                B.to_scipy())
+    assert got is not None and got == SparseGFp.from_scipy(want_sp, f.p), \
+        "sharded sparse Schur != host oracle"
+    # full mesh echelonize: rank + canonical RREF must match the
+    # host-only path, and every process must agree
+    fact = echelonize(A, mesh=mesh)
+    fact_host = echelonize(A)
+    assert fact.r == fact_host.r
+    R = rref_of_U(fact)
+    assert R == rref_of_U(fact_host)
+    hs = hashlib.sha256(R.indptr.tobytes() + R.indices.tobytes()
+                        + R.data.tobytes()).hexdigest()
+    print(f"WORKER {pid} sparse rank={fact.r} rref_sha={hs[:16]}",
+          flush=True)
+
 
 def main():
     if len(sys.argv) == 4:
@@ -88,16 +132,19 @@ def main():
     lines = []
     for i, out in enumerate(outs):
         ok = [l for l in out.splitlines() if l.startswith("WORKER")]
-        if procs[i].returncode != 0 or not ok:
+        if procs[i].returncode != 0 or len(ok) < 2:
             print(out)
             print(f"process {i} failed rc={procs[i].returncode}")
             sys.exit(1)
-        lines.append(ok[0])
-        print(ok[0])
-    sha0 = lines[0].split("panel_sha=")[1]
-    sha1 = lines[1].split("panel_sha=")[1]
-    assert sha0 == sha1, "processes disagree on the replicated pivot panel"
-    print("MULTIHOST OK: 2 processes x 4 devices, identical pivot panels")
+        lines.append(ok)
+        for line in ok:
+            print(line)
+    for k, key in ((0, "panel_sha="), (1, "rref_sha=")):
+        sha0 = lines[0][k].split(key)[1]
+        sha1 = lines[1][k].split(key)[1]
+        assert sha0 == sha1, f"processes disagree on {key[:-1]}"
+    print("MULTIHOST OK: 2 processes x 4 devices — dense round panels and "
+          "sparse-path (election + sharded Schur + echelonize RREF) agree")
 
 
 if __name__ == "__main__":
