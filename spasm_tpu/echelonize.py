@@ -1018,22 +1018,40 @@ def _gplu_finish(f: Field, S, row_origin, r0, opts, L_parts):
     # Each round harvests a maximal FL + greedy cycle-free set; the
     # fractional-insertion greedy resolves cascade/chain tails within a
     # round (see tests/test_echelonize.py::test_adversarial_cascade_tail),
-    # so the loop runs O(DAG-depth / greedy-cap) rounds, not O(n).  The
-    # cap below is a safety valve: it cannot trigger on the structures the
-    # greedy handles, and if an unforeseen shape ever degrades to
-    # one-pivot rounds we log loudly instead of looping quietly.
+    # so the loop normally runs O(DAG-depth) rounds.  ADVERSARIAL
+    # structures DO exist where every strategy degrades to ~1 pivot/round
+    # — a dense (or dense-cored) residue has every pair of rows
+    # interacting, so no two pivots are ever mutually insertable
+    # (tests/test_echelonize.py::test_gplu_adversarial_dense_block) —
+    # making the batched loop Theta(n) rounds of full-matrix sweeps.  The
+    # lean-round detector below hands such residues to the per-row
+    # left-looking elimination (_gplu_sequential, the reference's actual
+    # GPLU, src/SpaSM.jl:694-722), which finishes them in ONE pass.
     round_cap = 64 + 2 * (min(n_s, m) // 4096 + 1)
     rounds_done = 0
+    lean_rounds = 0
     while S.shape[0] and S.nnz:
         rounds_done += 1
-        if rounds_done == round_cap:
-            log(f"[echelonize/GPLU] WARNING: {rounds_done} rounds and "
-                "still unfinished — pathological pivot structure; "
-                "continuing (progress is guaranteed, >= 1 pivot/round)")
         Sw = SparseGFp.from_scipy(S, f.p, assume_canonical=True)
         prows, pcols, _ = find_structural_pivots(Sw, enable_greedy=True)
         assert prows.size > 0, "FL must find a pivot in a nonzero matrix"
         npiv = prows.size
+        active = int((np.diff(S.indptr) > 0).sum())
+        lean_rounds = lean_rounds + 1 if npiv * 16 < active else 0
+        if lean_rounds >= 3 or rounds_done >= round_cap:
+            log(f"[echelonize/GPLU] batched rounds degraded "
+                f"({npiv} pivots / {active} active rows); switching to "
+                "per-row left-looking elimination")
+            seq = _gplu_sequential(f, S, row_origin, r0 + r_local, opts,
+                                   L_parts)
+            if seq is not None:
+                Useq, pcols_seq, porig_seq = seq
+                U_blocks.append(Useq)
+                piv_cols_all.append(pcols_seq)
+                piv_orig_all.append(porig_seq)
+                r_local += pcols_seq.size
+            S = sp.csr_matrix((0, m), dtype=S.dtype)
+            break
         Upart = sp.csr_matrix(S[prows])
         piv_vals = np.asarray(
             Upart[np.arange(npiv), pcols]).ravel().astype(np.int64)
@@ -1076,3 +1094,88 @@ def _gplu_finish(f: Field, S, row_origin, r0, opts, L_parts):
     Usp = sp.vstack(U_blocks, format="csr")
     return (mod_reduce(Usp, f), np.concatenate(piv_cols_all),
             np.concatenate(piv_orig_all))
+
+
+def _gplu_sequential(f: Field, S, row_origin, r0, opts, L_parts):
+    """Per-row left-looking sparse elimination — the reference's actual
+    GPLU algorithm (spasm_sparse_triangular_solve driven per row,
+    src/SpaSM.jl:694-722,815).  Fallback for residues where the batched
+    structural rounds degrade (heavily overlapping supports: each round
+    finds O(1) pivots, so the round loop would be Theta(n) full sweeps).
+
+    Processes rows in order; each row is eliminated against the pivots
+    found so far in increasing pivot-index order via a min-heap worklist
+    (valid because pivot row k can only hit columns of pivots selected
+    AFTER k — the append invariant).  A nonzero residual contributes a
+    new unit pivot at its leftmost column.  Returns (U csr, pcols, porig)
+    or None for a zero tail; L coefficients appended when opts.L.
+    """
+    import heapq
+
+    n_s, m = S.shape
+    indptr, indices, data = S.indptr, S.indices, S.data
+    x = np.zeros(m, np.int64)
+    piv_col = []                  # pivot column of pivot k
+    u_cols: list = []             # unit-scaled pivot row supports
+    u_vals: list = []
+    porig = []
+    qinv = np.full(m, -1, np.int64)
+    for i in range(n_s):
+        ji = indices[indptr[i]:indptr[i + 1]].astype(np.int64)
+        if ji.size == 0:
+            continue
+        x[ji] = data[indptr[i]:indptr[i + 1]]
+        touched = [ji]
+        inq = np.zeros(max(1, len(piv_col)), bool)
+        heap = [int(k) for k in qinv[ji] if k >= 0]
+        inq[heap] = True
+        heapq.heapify(heap)
+        coefs_k, coefs_v = [], []
+        while heap:
+            k = heapq.heappop(heap)
+            c = x[piv_col[k]]
+            if c == 0:
+                continue
+            uc, uv = u_cols[k], u_vals[k]
+            x[uc] = f.normalize(x[uc] - c * uv)
+            touched.append(uc)
+            if opts.L:
+                coefs_k.append(k)
+                coefs_v.append(c)
+            hits = qinv[uc]
+            for k2 in hits[(hits > k) & ~inq[np.clip(hits, 0, inq.size - 1)]]:
+                inq[k2] = True           # only later pivots can appear
+                heapq.heappush(heap, int(k2))
+        cols_t = np.unique(np.concatenate(touched))
+        vals_t = x[cols_t]
+        nz = vals_t != 0
+        cols_nz, vals_nz = cols_t[nz], vals_t[nz]
+        if opts.L and coefs_k:
+            L_parts.append((np.full(len(coefs_k), row_origin[i]),
+                            r0 + np.array(coefs_k, np.int64),
+                            np.array(coefs_v, np.int64)))
+        if cols_nz.size:
+            j = cols_nz[0]               # leftmost residual column
+            v = vals_nz[np.searchsorted(cols_nz, j)]
+            k_new = len(piv_col)
+            qinv[j] = k_new
+            piv_col.append(int(j))
+            u_cols.append(cols_nz)
+            u_vals.append(f.normalize(vals_nz * int(f.inv(
+                np.array([v], np.int64))[0])))
+            porig.append(row_origin[i])
+            if opts.L:
+                L_parts.append((np.array([row_origin[i]]),
+                                np.array([r0 + k_new], np.int64),
+                                np.array([v], np.int64)))
+        x[cols_t] = 0
+    r_new = len(piv_col)
+    log(f"[echelonize/GPLU] sequential pass: {r_new} pivots from "
+        f"{n_s} rows")
+    if r_new == 0:
+        return None
+    lens = np.array([c.size for c in u_cols], np.int64)
+    Usp = sp.csr_matrix(
+        (np.concatenate(u_vals), np.concatenate(u_cols),
+         np.concatenate([[0], np.cumsum(lens)])), shape=(r_new, m))
+    return (Usp, np.array(piv_col, np.int64), np.array(porig, np.int64))

@@ -313,6 +313,79 @@ def test_adversarial_cascade_tail(rng):
     check_fact(A, fact)
 
 
+def test_gplu_adversarial_dense_block(rng, monkeypatch):
+    # A structure that defeats EVERY batched strategy: a dense residue.
+    # All row pairs interact, so no two pivots are mutually insertable in
+    # one pass — FL + FL-cols + fractional greedy all degrade to ~1
+    # pivot/round, i.e. Theta(n) full sweeps.  The lean-round detector
+    # must hand the residue to the per-row left-looking _gplu_sequential
+    # (the reference's GPLU, src/SpaSM.jl:694-722) and finish in one pass.
+    import importlib
+
+    # the package rebinds the attribute `spasm_tpu.echelonize` to the
+    # function; go through importlib for the module itself
+    ech = importlib.import_module("spasm_tpu.echelonize")
+    engaged = {}
+    orig = ech._gplu_sequential
+
+    def spy(*a, **kw):
+        engaged["yes"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ech, "_gplu_sequential", spy)
+    n = 120
+    A = SparseGFp.from_scipy(
+        __import__("scipy.sparse", fromlist=["csr_matrix"]).csr_matrix(
+            F.rand((n, n), rng).astype(np.int64)), F.p)
+    fact = echelonize(A, enable_dense=False, device_rounds=False)
+    assert engaged.get("yes"), "sequential GPLU fallback did not engage"
+    fact_dense = echelonize(A, enable_dense=True, device_rounds=False)
+    assert fact.r == fact_dense.r
+    assert rref_of_U(fact) == rref_of_U(fact_dense)
+
+
+def test_gplu_sequential_with_L(rng):
+    # the per-row fallback must also record exact L coefficients
+    import scipy.sparse as sp
+
+    n = 90
+    D = F.rand((n, n), rng).astype(np.int64)
+    D[rng.random((n, n)) < 0.5] = 0  # half-dense: still defeats batching
+    A = SparseGFp.from_scipy(sp.csr_matrix(D), F.p)
+    fact = echelonize(A, enable_dense=False, device_rounds=False, L=True)
+    assert fact.L @ fact.U == A
+
+
+def test_gplu_sequential_direct_parity(rng):
+    # unit-level: the sequential eliminator alone reproduces rank + RREF
+    # of the standard path on a random sparse matrix
+    import importlib
+
+    ech = importlib.import_module("spasm_tpu.echelonize")
+    EchelonizeOptions = ech.EchelonizeOptions
+
+    A = SparseGFp.rand(F, 140, 130, 0.05, rng)
+    S = A.to_scipy()
+    opts = EchelonizeOptions()
+    opts = __import__("dataclasses").replace(opts, dense_budget=10**8)
+    out = ech._gplu_sequential(F, S, np.arange(A.n, dtype=np.int64), 0,
+                               opts, [])
+    assert out is not None
+    Useq, pcols, porig = out
+    assert Useq.shape[0] == pcols.size == porig.size
+    # unit pivots located by pcols; rank parity with echelonize
+    piv_vals = np.asarray(
+        Useq[np.arange(pcols.size), pcols]).ravel()
+    assert (piv_vals == 1).all()
+    assert pcols.size == echelonize(A).r
+    # row space parity: stack U over the original rows loses no rank
+    import scipy.sparse as sp
+
+    stacked = SparseGFp.from_scipy(
+        sp.csr_matrix(sp.vstack([Useq.astype(np.int64), S])), F.p)
+    assert echelonize(stacked).r == pcols.size
+
+
 def test_mutual_reduce_single_wave(rng):
     """mutual_reduce yields a block with no internal elimination edges and
     identical single-product elimination results (elimination.py)."""
