@@ -124,16 +124,28 @@ def _shiftmod_u32(f: Field, x, k: int):
     return x
 
 
+def _modu32_barrett(f: Field, v):
+    """v mod p for uint32 v < 2**32, tier-B p (92681 < p < 2**31):
+    float-Barrett quotient — the f32 conversion error of v is <= 256,
+    i.e. < 0.01 quotients for tier-B p, so round() yields q_true or
+    q_true + 1 — exact wrap-around multiply-subtract, one conditional
+    +p correction.  Far cheaper than the integer `%` (division)."""
+    pu = jnp.uint32(f.p)
+    q = jnp.round(v.astype(jnp.float32)
+                  * jnp.float32(1.0 / f.p)).astype(jnp.uint32)
+    r = v - q * pu
+    return jnp.where(r > jnp.uint32(1 << 31), r + pu, r)
+
+
 def _mul_tier_b(f: Field, a, b):
-    p = jnp.uint32(f.p)
     au = _to_unsigned(f, a)
     bu = _to_unsigned(f, b)
     mask = jnp.uint32(0xFFFF)
     a1, a0 = au >> 16, au & mask
     b1, b0 = bu >> 16, bu & mask
-    t_lo = (a0 * b0) % p            # < 2**32, exact
-    t_mid = (a1 * b0 + a0 * b1) % p  # each term < 2**31, sum < 2**32, exact
-    t_hi = (a1 * b1) % p            # < 2**30
+    t_lo = _modu32_barrett(f, a0 * b0)             # < 2**32, exact
+    t_mid = _modu32_barrett(f, a1 * b0 + a0 * b1)  # sum < 2**32, exact
+    t_hi = _modu32_barrett(f, a1 * b1)             # < 2**30
     r = _shiftmod_u32(f, t_hi, 16)
     r = _addmod_u32(f, r, t_mid)
     r = _shiftmod_u32(f, r, 16)

@@ -16,11 +16,17 @@ Two kernels, same outputs as dense._panel_eliminate (the XLA fallback):
 * ``_kernel`` (65536 < p <= 92681): the classic form with the per-step
   scalar inverse; beta[pr] = pinv - 1, beta[i] = -col[i] * pinv, one
   fused rank-1 update for scale + eliminate.
+* ``_kernel_b`` (tier B: 92681 < p < 2**31): the SAME scale-free
+  recurrence in uint32 residues [0, p) with an exact 16x16-split
+  multiply (float-Barrett partial reductions + mod-doubling shift
+  reassembly, the elementwise analog of pallas_matmul's tier-B
+  epilogue).  Division-free like the tier-A scale-free kernel, so the
+  whole prime range below 2**31 runs without a per-step inverse chain.
 
-The correction invariant for both: row_i_final = X_i + G_i @ X[prows].
-All products stay exact in int32 before a single float-Barrett reduction
-(bounds in each kernel's docstring).  Tier-A primes with p >= _MIN_P
-only; larger or tiny primes and n > MAX_ROWS fall back to XLA.
+The correction invariant for all: row_i_final = X_i + G_i @ X[prows].
+Products stay exact (int32 bounds for tier A, uint32 split for tier B;
+see each kernel's docstring).  p >= _MIN_P required; tier-C primes and
+n > MAX_ROWS fall back to XLA.
 """
 
 from __future__ import annotations
@@ -45,7 +51,7 @@ _SCALEFREE_MAX_P = 65535
 
 
 def supported(f: Field, n: int) -> bool:
-    return f.tier == "a" and f.p >= _MIN_P and n <= MAX_ROWS
+    return f.tier in ("a", "b") and f.p >= _MIN_P and n <= MAX_ROWS
 
 
 def _inv_scalar(f: Field, x):
@@ -196,6 +202,178 @@ def _kernel_scalefree(f: Field, npivcols: int, c: int,
     jax.lax.fori_loop(0, c, body, jnp.int32(0))
 
 
+# -------------------- tier B (92681 < p < 2**31) --------------------
+#
+# All values live as uint32 residues in [0, p) (stored in int32 refs —
+# nonnegative, so the int32<->uint32 casts are exact).  The elementwise
+# product of two residues uses a 16x16 split: the three partial products
+# are exact in uint32, each is float-Barrett-reduced to [0, p), and the
+# 2**16 shifts reassemble through exact mod-doubling chains — the
+# elementwise analog of pallas_matmul._mulmod_u32.
+
+
+def _modu32(p: int, v):
+    """v mod p for uint32 v, 92681 < p < 2**31: float-Barrett quotient
+    (f32 conversion error of v < 2**32 is <= 256 => quotient error
+    < 256/p + eps < 0.01), exact wrap-around multiply-subtract, one
+    conditional +p correction (q is within {q_true, q_true + 1})."""
+    pu = jnp.uint32(p)
+    import numpy as np
+
+    q = jnp.round(v.astype(jnp.float32)
+                  * np.float32(1.0 / p)).astype(jnp.uint32)
+    r = v - q * pu
+    return jnp.where(r > jnp.uint32(1 << 31), r + pu, r)
+
+
+def _addmod_u(p: int, a, b):
+    pu = jnp.uint32(p)
+    s = a + b  # both < p < 2**31: exact
+    return jnp.where(s >= pu, s - pu, s)
+
+
+def _submod_u(p: int, a, b):
+    pu = jnp.uint32(p)
+    return jnp.where(a >= b, a - b, a + (pu - b))
+
+
+def _mulmod_u(p: int, x, y):
+    """(x * y) mod p, x and y uint32 arrays (broadcastable) in [0, p),
+    92681 < p < 2**31.  Exact: partials < 2**32 in uint32, shifts via
+    mod-doubling."""
+    mask = jnp.uint32(0xFFFF)
+    x1, x0 = x >> 16, x & mask
+    y1, y0 = y >> 16, y & mask
+    t_lo = _modu32(p, x0 * y0)
+    t_mid = _modu32(p, x1 * y0 + x0 * y1)  # each < 2**31, sum < 2**32
+    t_hi = _modu32(p, x1 * y1)
+    r = t_hi
+    for _ in range(16):
+        r = _addmod_u(p, r, r)
+    r = _addmod_u(p, r, t_mid)
+    for _ in range(16):
+        r = _addmod_u(p, r, r)
+    return _addmod_u(p, r, t_lo)
+
+
+def _kernel_b(f: Field, npivcols: int, c: int,
+              j0_ref, p_in, ispiv_in, P, H, sref, prow, pcol,
+              pfound, ispiv):
+    """Tier-B scale-free Jordan panel: the _kernel_scalefree recurrence
+    (see its docstring for the derivation) with every product routed
+    through the exact uint32 split multiply — division-free, so no
+    per-step inverse chain for ANY p < 2**31."""
+    n = P.shape[0]
+    p = f.p
+    P[:] = p_in[:]                      # already unsigned residues
+    ispiv[:] = ispiv_in[:]
+    H[:] = jnp.zeros_like(H)
+    sref[:] = jnp.ones_like(sref)
+    prow[:] = jnp.zeros_like(prow)
+    pcol[:] = jnp.zeros_like(pcol)
+    pfound[:] = jnp.zeros_like(pfound)
+    j0 = j0_ref[0]
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    slotid = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    u0 = jnp.uint32(0)
+    u1 = jnp.uint32(1)
+
+    def body(jj, kk):
+        Pv = P[:]
+        col = jnp.sum(jnp.where(colid == jj, Pv, 0), axis=1,
+                      keepdims=True)    # (n, 1) int32, in [0, p)
+        eligible = (j0 + jj) < npivcols
+        cand = (col != 0) & (ispiv[:] == 0) & eligible
+        pr = jnp.min(jnp.where(cand, rowid, jnp.int32(n)))
+        found = pr < n
+        prc = jnp.where(found, pr, 0)
+        is_pr = rowid == pr             # (n, 1)
+        pv = jnp.sum(jnp.where(is_pr, col, 0))
+        pvu = jnp.where(found, pv, 1).astype(jnp.uint32)
+        s_pr = jnp.sum(jnp.where(is_pr, sref[:], 0))
+        s_pru = jnp.where(found, s_pr, 1).astype(jnp.uint32)
+        Prow = P[pl.ds(prc, 1), :].astype(jnp.uint32)   # (1, c)
+        hrow = _addmod_u(
+            p, H[pl.ds(prc, 1), :].astype(jnp.uint32),
+            jnp.where(slotid == kk, s_pru, u0))
+        colu = col.astype(jnp.uint32)
+        colz = jnp.where(found & jnp.logical_not(is_pr), colu, u0)
+        pvz = jnp.where(found & jnp.logical_not(is_pr), pvu, u1)  # (n, 1)
+        Pu = Pv.astype(jnp.uint32)
+        Hu = H[:].astype(jnp.uint32)
+        P[:] = _submod_u(p, _mulmod_u(p, pvz, Pu),
+                         _mulmod_u(p, colz, Prow)).astype(jnp.int32)
+        H[:] = _submod_u(p, _mulmod_u(p, pvz, Hu),
+                         _mulmod_u(p, colz, hrow)).astype(jnp.int32)
+        # pivot row's own slot: H[pr] += (s[pr] - pv) * e_slot
+        w = _submod_u(p, s_pru, pvu)
+        hpr = H[pl.ds(prc, 1), :].astype(jnp.uint32)
+        H[pl.ds(prc, 1), :] = _addmod_u(
+            p, hpr, jnp.where((slotid == kk) & found, w, u0)
+        ).astype(jnp.int32)
+        # scales: every row picks up pv; the pivot row resets to pv
+        sv = sref[:].astype(jnp.uint32)
+        s_new = _mulmod_u(p, jnp.where(found, pvu, u1), sv)
+        sref[:] = jnp.where(is_pr & found, pvu, s_new).astype(jnp.int32)
+        fi = found.astype(jnp.int32)
+        ispiv[:] = jnp.where(is_pr & found, 1, ispiv[:])
+        slot_hit = (slotid == kk) & found
+        prow[:] = jnp.where(slot_hit, pr, prow[:])
+        pcol[:] = jnp.where(slot_hit, jj, pcol[:])
+        pfound[:] = jnp.where(slot_hit, 1, pfound[:])
+        return kk + fi
+
+    jax.lax.fori_loop(0, c, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _panel_tier_b_jit(f: Field, npivcols: int, P, is_piv_row, j0):
+    from . import modmul
+
+    n, c = P.shape
+    j0_arr = jnp.asarray(j0, jnp.int32).reshape(1)
+    ispiv_i32 = is_piv_row.astype(jnp.int32).reshape(n, 1)
+    # balanced int32 -> unsigned residues stored in int32 (p < 2**31)
+    Pu = jnp.where(P < 0, P + jnp.int32(f.p), P)
+    kern = functools.partial(_kernel_b, f, npivcols, c)
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, c), jnp.int32),   # P (s-scaled, [0,p))
+        jax.ShapeDtypeStruct((n, c), jnp.int32),   # H (s-scaled G)
+        jax.ShapeDtypeStruct((n, 1), jnp.int32),   # per-row scales s
+        jax.ShapeDtypeStruct((1, c), jnp.int32),   # prow
+        jax.ShapeDtypeStruct((1, c), jnp.int32),   # pcol
+        jax.ShapeDtypeStruct((1, c), jnp.int32),   # pfound
+        jax.ShapeDtypeStruct((n, 1), jnp.int32),   # ispiv
+    )
+    Ps, Hs, sv, prow, pcol, pfound, ispiv = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shapes),
+        out_shape=out_shapes,
+        interpret=not available(),
+    )(j0_arr, Pu, ispiv_i32)
+    # one vectorized Fermat inverse of the scales (modmul's tier-B path
+    # accepts any representative in (-p, p), incl. the unsigned [0, p))
+    e = f.p - 2
+    sinv = jnp.ones_like(sv)
+    base = sv
+    while e:
+        if e & 1:
+            sinv = modmul.mul(f, sinv, base)
+        base = modmul.mul(f, base, base)
+        e >>= 1
+    P2 = modmul.mul(f, Ps, sinv)
+    G = modmul.mul(f, Hs, sinv)
+    return (P2, G, prow[0], pcol[0], pfound[0].astype(bool),
+            ispiv[:, 0].astype(bool))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _panel_scalefree_jit(f: Field, npivcols: int, P, is_piv_row, j0):
     n, c = P.shape
@@ -238,6 +416,8 @@ def panel_eliminate_pallas(f: Field, npivcols: int, P, is_piv_row, j0):
     """Drop-in for dense._panel_eliminate with the same outputs."""
     if f.p <= _SCALEFREE_MAX_P:
         return _panel_scalefree_jit(f, npivcols, P, is_piv_row, j0)
+    if f.tier == "b":
+        return _panel_tier_b_jit(f, npivcols, P, is_piv_row, j0)
     n, c = P.shape
     j0_arr = jnp.asarray(j0, jnp.int32).reshape(1)
     ispiv_i32 = is_piv_row.astype(jnp.int32).reshape(n, 1)

@@ -60,6 +60,48 @@ def test_mod_balanced_f32_exact(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("p", [104729, 16777213, 2147483629])
+def test_pallas_panel_tier_b_matches_fallback(p, rng):
+    # tier-B scale-free panel kernel (uint32 split multiply) must
+    # reproduce the XLA fallback bit-exactly: same panel, correction G,
+    # pivot bookkeeping
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops.dense import _panel_eliminate
+    from spasm_tpu.ops.pallas_panel import _panel_tier_b_jit, supported
+
+    f = field(p)
+    n, c = 64, 32
+    assert supported(f, n)
+    P = jnp.asarray(f.rand((n, c), rng).astype(np.int32))
+    # a few planted zeros + a pre-used pivot row exercise the masks
+    P = P.at[3, 0].set(0).at[10, :].set(0)
+    ispiv = jnp.zeros(n, bool).at[5].set(True)
+    got = _panel_tier_b_jit(f, c, P, ispiv, 0)
+    want = _panel_eliminate(f, P, ispiv, 0, c)
+    for g, w, name in zip(got, want, ("P", "G", "prow", "pcol",
+                                      "pfound", "ispiv")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w), name)
+
+
+def test_mulmod_u_exact(rng):
+    # elementwise uint32 split multiply across the tier-B range
+    import jax
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops.pallas_panel import _mulmod_u
+
+    for p in (92683, 104729, 1 << 24, 2147483629, 2147483647):
+        xs = rng.integers(0, p, 20000).astype(np.uint32)
+        ys = rng.integers(0, p, 20000).astype(np.uint32)
+        got = np.asarray(jax.jit(
+            lambda x, y, p=p: _mulmod_u(p, x, y))(jnp.asarray(xs),
+                                                  jnp.asarray(ys)))
+        want = ((xs.astype(object) * ys.astype(object)) % p).astype(
+            np.uint32)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_matmul_tier_b_exact(rng):
     # full tier-B range incl. the top: unsigned split epilogue must be
     # exact vs the big-int oracle

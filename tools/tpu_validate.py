@@ -90,6 +90,18 @@ check("device RREF p=92681 (classic kernel)",
       and np.array_equal(out2["R"][out2["piv_rows"]],
                          want2["R"][want2["piv_rows"]]))
 
+# 5b. tier-B (uint32-split scale-free) panel kernel: 92681 < p < 2**31
+for p_b in (104729, 2147483629):
+    f3 = Field(p_b)
+    X3 = f3.rand((512, 384), rng)
+    X3[rng.random((512, 384)) > 0.3] = 0
+    out3 = dense_ops.rref(f3, X3, host_cutoff=0)
+    want3 = dense_ops._host_rref(f3, X3, False)
+    check(f"device RREF p={p_b} (tier-B panel kernel)",
+          out3["rank"] == want3["rank"]
+          and np.array_equal(out3["R"][out3["piv_rows"]],
+                             want3["R"][want3["piv_rows"]]))
+
 # 6. end-to-end rank on chip vs known values
 A = st.SparseGFp.rand(Field(42013), 3000, 3000, 2e-3,
                       np.random.default_rng(5))
