@@ -35,6 +35,13 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
+from spasm_tpu.utils.hostmem import prefault, tune_host_malloc
+
+# first-touch page faults on this VM run ~1000x slower than warm pages;
+# keep glibc from munmapping large temporaries so they stay warm
+# (utils/hostmem.py — measured 400x on repeated large fills)
+tune_host_malloc()
+
 import spasm_tpu as st
 from spasm_tpu.fixtures import simplex_boundary
 
@@ -58,6 +65,10 @@ def warm_device_channel():
 
 
 def main():
+    # fault the expected peak host footprint up front (parallel touches
+    # beat the serial mid-run fault path ~2-5x on this VM) so measured
+    # phases run on warm pages
+    prefault(6 << 30)
     f = st.field(42013)
     rng = np.random.default_rng(SEED)
     A = st.SparseGFp.rand(f, N, N, DENSITY, rng)

@@ -15,6 +15,10 @@ import sys
 
 import numpy as np
 
+from ..utils.hostmem import tune_host_malloc
+
+tune_host_malloc()  # slow-first-touch VM lever; see utils/hostmem.py
+
 
 def _common_flags(p):
     p.add_argument("--modulus", type=int, default=42013)

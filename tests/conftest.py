@@ -17,6 +17,16 @@ import jax
 # config update is authoritative
 jax.config.update("jax_platforms", "cpu")
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spasm_tpu.utils.hostmem import tune_host_malloc
+
+# this VM's first-touch page faults are ~1000x slower than warm pages;
+# keep large temporaries heap-resident (utils/hostmem.py)
+tune_host_malloc()
+
 import numpy as np
 import pytest
 
