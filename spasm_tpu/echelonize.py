@@ -305,6 +305,11 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             from .parallel.sparse_sharded import sharded_fl_election
 
             fl = sharded_fl_election(f, mesh, Sw)
+        # (measured: skipping the greedy's sequential mop-up here to save
+        # ~0.1 s of host Python flips the round-0 density gate on
+        # knife-edge instances — fewer pivots => lower estimated density
+        # => a host Schur round that costs more than the mop-up saved —
+        # so the full search always runs)
         prows, pcols, counts = find_structural_pivots(
             Sw, enable_greedy=opts.enable_greedy_pivot_search, fl=fl)
         log(f"[pivots] Faugère-Lachartre: {counts['faugere-lachartre']} "
@@ -322,30 +327,15 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             log("[echelonize] not enough pivots found; stopping")
             break
 
-        # scale pivot rows to unit pivots
-        Upart = S[prows]  # (npiv, m) in pivot order
-        piv_vals = np.asarray(
-            Upart[np.arange(npiv), pcols]).ravel().astype(np.int64)
-        scales = f.inv(piv_vals)
-        Upart = sp.csr_matrix(Upart)
-        row_of_entry = np.repeat(np.arange(npiv), np.diff(Upart.indptr))
-        Upart.data = f.normalize(Upart.data * scales[row_of_entry])
-
-        # Schur complement of the remaining rows vs the new pivot block.
-        # New-block levels are self-contained: S rows already have zeros at
-        # all earlier pivot columns, so cross-block edges cannot exist here.
-        Ublock_w = SparseGFp.from_scipy(Upart, f.p, assume_canonical=True)
-        levels_blk = compute_levels(Ublock_w, pcols)
-        rest_mask = np.ones(S.shape[0], bool)
-        rest_mask[prows] = False
-        rest_rows = np.flatnonzero(rest_mask)
         t0 = wtime()
-        S_rest = S[rest_rows]
         # Monte-Carlo density estimate BEFORE paying for the full Schur:
         # if the complement would densify past sparsity_threshold, skip
         # this round and let the dense finish take the current S (the
         # reference's est_density gate, src/SpaSM.jl:763)
-        est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
+        est, S_rest, rest_rows, blk = _round_schur_estimate(
+            f, S, prows, pcols)
+        Upart, piv_vals, Ublock_w, levels_blk = blk
+        del blk
         log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
             f"estimated density : {est:.2f}")
         thresh = opts.sparsity_threshold
@@ -612,6 +602,32 @@ def _dense_finish_from_device(f: Field, res, row_origin, opts, m):
     porig = row_origin[orig_of[np.asarray(piv_rows_glob, np.int64)]]
     pcols = np.asarray(piv_cols_loc, np.int64)
     return mod_reduce(Usp, f), pcols, porig
+
+
+def _round_schur_estimate(f: Field, S, prows, pcols):
+    """Scale the round's pivot rows to unit pivots, derive the block's
+    elimination levels, split off the non-pivot rows, and Monte-Carlo
+    estimate the Schur complement density (the reference's
+    spasm_schur_estimate_density gate, src/SpaSM.jl:763).  Returns
+    (est, S_rest, rest_rows, (Upart, piv_vals, Ublock_w, levels_blk))."""
+    npiv = prows.size
+    Upart = S[prows]  # (npiv, m) in pivot order
+    piv_vals = np.asarray(
+        Upart[np.arange(npiv), pcols]).ravel().astype(np.int64)
+    scales = f.inv(piv_vals)
+    Upart = sp.csr_matrix(Upart)
+    row_of_entry = np.repeat(np.arange(npiv), np.diff(Upart.indptr))
+    Upart.data = f.normalize(Upart.data * scales[row_of_entry])
+    # New-block levels are self-contained: S rows already have zeros at
+    # all earlier pivot columns, so cross-block edges cannot exist here.
+    Ublock_w = SparseGFp.from_scipy(Upart, f.p, assume_canonical=True)
+    levels_blk = compute_levels(Ublock_w, pcols)
+    rest_mask = np.ones(S.shape[0], bool)
+    rest_mask[prows] = False
+    rest_rows = np.flatnonzero(rest_mask)
+    S_rest = S[rest_rows]
+    est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
+    return est, S_rest, rest_rows, (Upart, piv_vals, Ublock_w, levels_blk)
 
 
 def _device_rounds_enabled(opts, f: Field, S) -> bool:

@@ -96,8 +96,11 @@ def _panel_eliminate(f: Field, P, is_piv_row, j0, npivcols: int):
 # panels per full-width rank-c correction: the K panels of a group share
 # ONE whole-matrix matmul+reduce pass (the per-panel full-width pass was
 # ~40% of the dense-finish device time); cross-panel consistency inside a
-# group is kept with tiny window corrections (n x c and c x m ops)
+# group is kept with tiny window corrections (n x c and c x c ops), and
+# the corrected pivot rows are resolved once per group by an exact
+# Neumann inverse of the strictly-block-lower coefficient matrix
 PANEL_GROUP = 4
+_FORCE_GROUP = None  # tests override to exercise grouping on CPU
 
 
 def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
@@ -126,7 +129,9 @@ def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
     # grouping trades K-1 full-width passes for small extra matmuls: a win
     # on the MXU, a loss on the CPU backend (tests/emulation) where the
     # small modmatmuls are relatively expensive — group only on device
-    group = PANEL_GROUP if jax.default_backend() != "cpu" else 1
+    # (_FORCE_GROUP lets the CPU tests exercise the grouped path)
+    group = _FORCE_GROUP or (PANEL_GROUP
+                             if jax.default_backend() != "cpu" else 1)
     ngrp = -(-npan // group)
     m_pad = max(m, ngrp * group * panel)
     if m_pad != m:
@@ -144,23 +149,50 @@ def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
         return _panel_eliminate(f, P, is_piv, j0, npivcols)
 
     def do_group(gi, carry):
+        # Within a group, panel k's corrected pivot rows satisfy
+        #   R_k = X[prows_k] + sum_{l<k} C_kl @ R_l,   C_kl = G_l[prows_k]
+        # i.e. Rcat = (I - L)^{-1} Xrows with L strictly block-lower
+        # (L^K = 0).  Resolving this ONCE at group end via the exact
+        # Neumann product (I + L)(I + L^2)... replaces the per-panel
+        # full-width row gathers + (c, m)-wide correction matmuls with a
+        # single (Kc, m)-wide matmul; the per-panel window corrections
+        # need only (c, c) slices, recovered by the same recurrence at
+        # window width.
         X, is_piv, rank, prow_of, pcol_of = carry
-        Gs, Rs = [], []
+        rank_in = rank
+        Gs, prows_l, wins = [], [], []
         for k in range(group):
             pi = gi * group + k
             j0 = pi * panel
-            P = jax.lax.dynamic_slice(X, (0, j0), (n, panel))
-            for l in range(k):  # window corrections from earlier panels
-                Rl_win = jax.lax.dynamic_slice(Rs[l], (0, j0),
-                                               (panel, panel))
-                P = modmul.add(f, P, modmatmul(f, Gs[l], Rl_win))
-            P, G, prows, pcols, pfound, is_piv = one_panel(P, is_piv, j0)
-            # corrected pivot rows of this panel (dummy slots: zero G col)
-            Rk = X[prows, :]
+            Xwin = jax.lax.dynamic_slice(X, (0, j0), (n, panel))
+            P = Xwin
+            # corrected windows of earlier panels' pivot rows, at THIS
+            # panel's columns: R_l|win = Xwin[prows_l] + sum_j C_lj R_j|win
+            Rwin = []
             for l in range(k):
-                Rk = modmul.add(f, Rk, modmatmul(f, Gs[l][prows, :], Rs[l]))
+                rw = Xwin[prows_l[l], :]
+                for j in range(l):
+                    rw = modmul.add(
+                        f, rw, modmatmul(f, wins[l][j], Rwin[j]))
+                Rwin.append(rw)
+                P = modmul.add(f, P, modmatmul(f, Gs[l], rw))
+            # blocks pre-eliminated against earlier pivots see long runs
+            # of all-zero windows before their own columns; the 128-step
+            # panel kernel is ~2 ms even then, so skip it outright
+            # (profiled: over half the fused finish was empty panels)
+            P, G, prows, pcols, pfound, is_piv = jax.lax.cond(
+                jnp.any(P != 0),
+                lambda P, ip: one_panel(P, ip, j0),
+                lambda P, ip: (P, jnp.zeros((n, panel), jnp.int32),
+                               jnp.zeros((panel,), jnp.int32),
+                               jnp.zeros((panel,), jnp.int32),
+                               jnp.zeros((panel,), bool), ip),
+                P, is_piv)
+            # C_kl coefficient blocks for the group-end resolve (dummy
+            # slots gather arbitrary rows; their Gcat columns are zero)
+            wins.append([Gs[l][prows, :] for l in range(k)])
             Gs.append(G)
-            Rs.append(Rk)
+            prows_l.append(prows)
             # pivot bookkeeping (slot order == column order within panel)
             nfound = pfound.sum().astype(jnp.int32)
             slot = jax.lax.broadcasted_iota(jnp.int32, (panel,), 0)
@@ -170,9 +202,32 @@ def rref_inplace(f: Field, X, npivcols: int, panel: int = DEFAULT_PANEL):
             pcol_of = pcol_of.at[slots].set(
                 jnp.where(pfound, j0 + pcols, -1), mode="drop")
             rank = rank + nfound
-        Gcat = jnp.concatenate(Gs, axis=1)   # (n, K*c)
-        Rcat = jnp.concatenate(Rs, axis=0)   # (K*c, m_pad)
-        X = modmul.add(f, X, modmatmul(f, Gcat, Rcat))
+        def apply_group(X):
+            Gcat = jnp.concatenate(Gs, axis=1)   # (n, K*c)
+            Xrows = X[jnp.concatenate(prows_l), :]       # ONE row gather
+            if group > 1:
+                Kc = group * panel
+                L = jnp.zeros((Kc, Kc), jnp.int32)
+                for k in range(group):
+                    for l in range(k):
+                        L = jax.lax.dynamic_update_slice(
+                            L, wins[k][l], (k * panel, l * panel))
+                eye = (jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 0)
+                       == jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 1)
+                       ).astype(jnp.int32)
+                T = modmul.add(f, eye, L)
+                Lp = L
+                steps = (group - 1).bit_length()
+                for _ in range(steps - 1):
+                    Lp = modmatmul(f, Lp, Lp)
+                    T = modmatmul(f, modmul.add(f, eye, Lp), T)
+                Rcat = modmatmul(f, T, Xrows)    # (Kc, m_pad)
+            else:
+                Rcat = Xrows
+            return modmul.add(f, X, modmatmul(f, Gcat, Rcat))
+
+        # no pivots in the whole group => Gcat == 0 => X unchanged
+        X = jax.lax.cond(rank > rank_in, apply_group, lambda X: X, X)
         return X, is_piv, rank, prow_of, pcol_of
 
     is_piv0 = jnp.zeros((n,), bool)

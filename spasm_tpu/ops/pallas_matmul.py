@@ -76,13 +76,25 @@ def _mod_balanced_f32(p: int, x):
     return r
 
 
+def _u32_to_f32(v):
+    """uint32 -> f32 via 16-bit halves (Mosaic has no direct u32->f32
+    cast): hi * 2**16 is exact in f32, the final add rounds once, so the
+    total conversion error stays <= 256 — the same bound as a direct
+    round-to-nearest conversion of a < 2**32 input."""
+    hi = (v >> 16).astype(jnp.int32).astype(jnp.float32)
+    lo = (v & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    return hi * np.float32(65536.0) + lo
+
+
 def _modu32_f32(p: int, v):
     """v mod p for uint32 v < 2**32, 92681 < p < 2**31: float-Barrett
     quotient (f32 conversion error <= 256 => quotient error << 1), exact
-    uint32 wrap-around multiply-subtract, one conditional +p correction."""
+    uint32 wrap-around multiply-subtract, one conditional +p correction.
+    q < 2**32/p < 2**16 fits int32, so the f32->int->u32 casts are
+    Mosaic-lowerable."""
     pu = jnp.uint32(p)
-    q = jnp.round(v.astype(jnp.float32)
-                  * np.float32(1.0 / p)).astype(jnp.uint32)
+    q = jnp.round(_u32_to_f32(v)
+                  * np.float32(1.0 / p)).astype(jnp.int32).astype(jnp.uint32)
     r = v - q * pu  # wraps iff the true remainder is negative
     return jnp.where(r > jnp.uint32(1 << 31), r + pu, r)
 

@@ -169,11 +169,14 @@ def _kernel_scalefree(f: Field, npivcols: int, c: int,
         found = pr < n
         prc = jnp.where(found, pr, 0)
         is_pr = rowid == pr  # (n, 1)
-        pv = jnp.sum(jnp.where(is_pr, col, 0))
-        pv = jnp.where(found, pv, jnp.int32(1))
-        s_pr = jnp.sum(jnp.where(is_pr, sv, 0))
-        s_pr = jnp.where(found, s_pr, jnp.int32(1))
         Prow = P[pl.ds(prc, 1), :]                       # (1, c)
+        # pivot value from the sliced row (a (1, c) lane reduce) and the
+        # scale from a ref slice — instead of two more (n, 1) cross-row
+        # reductions on the latency-bound 128-step chain
+        pv = jnp.sum(jnp.where(slotid == jj, Prow, 0))
+        pv = jnp.where(found, pv, jnp.int32(1))
+        s_pr = sref[pl.ds(prc, 1), :][0, 0]
+        s_pr = jnp.where(found, s_pr, jnp.int32(1))
         hrow = _mod_balanced_f32(
             p, H[pl.ds(prc, 1), :]
             + jnp.where(slotid == kk, s_pr, jnp.int32(0)))
@@ -214,14 +217,17 @@ def _kernel_scalefree(f: Field, npivcols: int, c: int,
 
 def _modu32(p: int, v):
     """v mod p for uint32 v, 92681 < p < 2**31: float-Barrett quotient
-    (f32 conversion error of v < 2**32 is <= 256 => quotient error
+    (conversion error of v < 2**32 is <= 256 => quotient error
     < 256/p + eps < 0.01), exact wrap-around multiply-subtract, one
-    conditional +p correction (q is within {q_true, q_true + 1})."""
-    pu = jnp.uint32(p)
+    conditional +p correction (q is within {q_true, q_true + 1}).
+    Conversions go through 16-bit halves / int32 — Mosaic has no direct
+    u32<->f32 casts (pallas_matmul._u32_to_f32)."""
+    from .pallas_matmul import _u32_to_f32
     import numpy as np
 
-    q = jnp.round(v.astype(jnp.float32)
-                  * np.float32(1.0 / p)).astype(jnp.uint32)
+    pu = jnp.uint32(p)
+    q = jnp.round(_u32_to_f32(v)
+                  * np.float32(1.0 / p)).astype(jnp.int32).astype(jnp.uint32)
     r = v - q * pu
     return jnp.where(r > jnp.uint32(1 << 31), r + pu, r)
 

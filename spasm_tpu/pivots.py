@@ -138,7 +138,8 @@ def fl_col_pivots(A: SparseGFp, col_selected, row_used):
 
 
 def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
-                  piv_pos_of_col, col_touch_max, max_passes=2):
+                  piv_pos_of_col, col_touch_max, max_passes=2,
+                  mopup=True):
     """Greedy cycle-free completion by fractional-position insertion.
 
     The selected pivots carry real-valued *positions* whose sorted order is
@@ -252,8 +253,10 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
     # (heavily overlapping supports) where the fractional-insertion rule
     # shines — cap the Python loop so per-round host work stays bounded.
     # Skipped when the batched passes PROVED exhaustion (empty eligible
-    # set): the per-row loop applies the identical insertion rule.
-    if not exhausted:
+    # set): the per-row loop applies the identical insertion rule.  Also
+    # skippable by the caller (mopup=False) when the round is likely to
+    # discard its pivots (accelerator dense-switch probe).
+    if not exhausted and mopup:
         sq_r, sq_c, sq_p = _greedy_sequential(
             A, col_selected, row_used, piv_pos_of_col, col_touch_max,
             col_counts, lengths, cap=4096)
@@ -309,7 +312,8 @@ def _greedy_sequential(A, col_selected, row_used, piv_pos_of_col,
             np.array(sel_p, np.float64))
 
 
-def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None):
+def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None,
+                           greedy_mopup=True):
     """One round of structural pivot selection on the (current Schur) matrix
     A.  Returns (rows, cols, counts_by_strategy) with the global list in
     append-invariant order: FL pivots (by column), then greedy completions.
@@ -350,7 +354,8 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None):
             scatter_max(col_touch_max, A.indices[live].astype(np.int64),
                         touch[live])
         g_r, g_c, g_p = greedy_pivots(A, col_selected, row_used, pos,
-                                      piv_pos_of_col, col_touch_max)
+                                      piv_pos_of_col, col_touch_max,
+                                      mopup=greedy_mopup)
         rows = np.concatenate([rows, g_r])
         cols = np.concatenate([cols, g_c])
         pos = np.concatenate([pos, g_p])

@@ -130,3 +130,27 @@ def test_tier_b_prime(rng):
     p = 2**31 - 1
     X = field(p).rand((8, 9), rng)
     run_case(p, X)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_grouped_panels_neumann(rng, group):
+    # the grouped-panel path (device default) resolves corrected pivot
+    # rows once per group via the exact Neumann inverse; force it on CPU
+    # and check bit-exactness against the oracle, incl. rank-deficiency
+    import importlib
+
+    dense = importlib.import_module("spasm_tpu.ops.dense")
+    old = dense._FORCE_GROUP
+    dense._FORCE_GROUP = group
+    try:
+        X = field(42013).rand((70, 90), rng).astype(np.int64)
+        X[rng.random(X.shape) > 0.6] = 0
+        X[5] = X[9]          # duplicate rows -> deficiency
+        X[:, 11] = 0
+        run_case(42013, X, panel=8)
+        run_case(42013, X, panel=8, want_transform=True)
+        # tier-B prime through the grouped path too
+        Y = field(104729).rand((40, 56), rng).astype(np.int64)
+        run_case(104729, Y, panel=8)
+    finally:
+        dense._FORCE_GROUP = old
