@@ -68,6 +68,27 @@ def _inv_scalar(f: Field, x):
     return result
 
 
+def _next_cand_col(P, ispiv, jj, j0, npivcols, colid1):
+    """Smallest column index >= jj that holds a candidate pivot (a nonzero
+    in a non-pivot row, within the eligible range), or c if none.
+
+    Columns with no candidate are exact no-op steps of the sequential
+    Jordan loop, so jumping over them preserves bit-identical output while
+    making the loop trip count proportional to the PIVOTS FOUND rather
+    than the panel width — the sparse panels of a blocked finish scan
+    ~4x fewer steps (profiled on the 10k flagship).  Candidate columns
+    never appear to the LEFT of jj later: fill-in only adds nonzeros, but
+    the sequential loop also never revisits columns, so skipping matches
+    the reference fori semantics exactly.
+    """
+    n, c = P.shape
+    candmat = (P[:] != 0) & (ispiv[:] == 0)      # (n, c)
+    percol = jnp.max(jnp.where(candmat, 1, 0), axis=0)[None, :]  # (1, c)
+    ok = ((percol > 0) & (colid1 >= jj)
+          & ((j0 + colid1) < npivcols))
+    return jnp.min(jnp.where(ok, colid1, jnp.int32(c)))
+
+
 def _kernel(f: Field, npivcols: int, c: int,
             j0_ref, p_in, ispiv_in, P, G, prow, pcol, pfound, ispiv):
     n = P.shape[0]
@@ -83,45 +104,54 @@ def _kernel(f: Field, npivcols: int, c: int,
     rowid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     slotid = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     colid = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    colid1 = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
 
-    def body(jj, kk):
+    def cond(carry):
+        jj, kk = carry
+        return jj < c
+
+    def body(carry):
+        jj0, kk = carry
         Pv = P[:]
-        # single-column extraction via masked lane reduce (dynamic lane
-        # slices must be 128-aligned on TPU)
-        col = jnp.sum(jnp.where(colid == jj, Pv, 0), axis=1,
-                      keepdims=True)  # (n, 1)
-        eligible = (j0 + jj) < npivcols
-        cand = (col != 0) & (ispiv[:] == 0) & eligible
-        # first candidate row via int min-reduce (Mosaic argmax is f32-only)
-        pr = jnp.min(jnp.where(cand, rowid, jnp.int32(n)))
-        found = pr < n
-        prc = jnp.where(found, pr, 0)
-        is_pr = rowid == pr  # (n, 1)
-        pv = jnp.sum(jnp.where(is_pr, col, 0))
-        pinv = _inv_scalar(f, pv)
-        # beta folds scale + eliminate into one rank-1:
-        #   row pr:   + (pinv - 1) * row_pr  == scale to unit pivot
-        #   row i!=pr:  - col_i * pinv * row_pr  == eliminate column jj
-        bpr = pinv - jnp.int32(1)
-        bpr = jnp.where(bpr < -half, bpr + jnp.int32(p), bpr)  # rebalance
-        beta = jnp.where(is_pr, bpr, _mod_balanced_f32(p, col * (-pinv)))
-        beta = jnp.where(found, beta, jnp.int32(0))
-        Prow = P[pl.ds(prc, 1), :]                       # (1, c)
-        grow = G[pl.ds(prc, 1), :] + jnp.where(slotid == kk, jnp.int32(1),
-                                               jnp.int32(0))
-        # |beta * Prow| <= (p/2)^2 and |P| <= p/2: exact int32, one mod
-        P[:] = _mod_balanced_f32(p, Pv + beta * Prow)
-        G[:] = _mod_balanced_f32(p, G[:] + beta * grow)
-        # bookkeeping
-        fi = found.astype(jnp.int32)
-        ispiv[:] = jnp.where(is_pr & found, 1, ispiv[:])
-        slot_hit = (slotid == kk) & found
-        prow[:] = jnp.where(slot_hit, pr, prow[:])
-        pcol[:] = jnp.where(slot_hit, jj, pcol[:])
-        pfound[:] = jnp.where(slot_hit, 1, pfound[:])
-        return kk + fi
+        jj = _next_cand_col(P, ispiv, jj0, j0, npivcols, colid1)
 
-    jax.lax.fori_loop(0, c, body, jnp.int32(0))
+        @pl.when(jj < c)
+        def _step():
+            # single-column extraction via masked lane reduce (dynamic
+            # lane slices must be 128-aligned on TPU)
+            col = jnp.sum(jnp.where(colid == jj, Pv, 0), axis=1,
+                          keepdims=True)  # (n, 1)
+            cand = (col != 0) & (ispiv[:] == 0)
+            # first candidate row via int min-reduce (Mosaic argmax is
+            # f32-only); a candidate exists by _next_cand_col
+            pr = jnp.min(jnp.where(cand, rowid, jnp.int32(n)))
+            is_pr = rowid == pr  # (n, 1)
+            pv = jnp.sum(jnp.where(is_pr, col, 0))
+            pinv = _inv_scalar(f, pv)
+            # beta folds scale + eliminate into one rank-1:
+            #   row pr:   + (pinv - 1) * row_pr  == scale to unit pivot
+            #   row i!=pr:  - col_i * pinv * row_pr  == eliminate col jj
+            bpr = pinv - jnp.int32(1)
+            bpr = jnp.where(bpr < -half, bpr + jnp.int32(p), bpr)
+            beta = jnp.where(is_pr, bpr,
+                             _mod_balanced_f32(p, col * (-pinv)))
+            Prow = P[pl.ds(pr, 1), :]                       # (1, c)
+            grow = G[pl.ds(pr, 1), :] + jnp.where(
+                slotid == kk, jnp.int32(1), jnp.int32(0))
+            # |beta * Prow| <= (p/2)^2, |P| <= p/2: exact int32, one mod
+            P[:] = _mod_balanced_f32(p, Pv + beta * Prow)
+            G[:] = _mod_balanced_f32(p, G[:] + beta * grow)
+            # bookkeeping
+            ispiv[:] = jnp.where(is_pr, 1, ispiv[:])
+            slot_hit = slotid == kk
+            prow[:] = jnp.where(slot_hit, pr, prow[:])
+            pcol[:] = jnp.where(slot_hit, jj, pcol[:])
+            pfound[:] = jnp.where(slot_hit, 1, pfound[:])
+
+        stepped = (jj < c).astype(jnp.int32)
+        return jnp.where(jj < c, jj + 1, jnp.int32(c)), kk + stepped
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
 
 def _kernel_scalefree(f: Field, npivcols: int, c: int,
@@ -157,52 +187,58 @@ def _kernel_scalefree(f: Field, npivcols: int, c: int,
     rowid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     slotid = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     colid = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    colid1 = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
 
-    def body(jj, kk):
-        Pv = P[:]
-        sv = sref[:]
-        col = jnp.sum(jnp.where(colid == jj, Pv, 0), axis=1,
-                      keepdims=True)  # (n, 1)
-        eligible = (j0 + jj) < npivcols
-        cand = (col != 0) & (ispiv[:] == 0) & eligible
-        pr = jnp.min(jnp.where(cand, rowid, jnp.int32(n)))
-        found = pr < n
-        prc = jnp.where(found, pr, 0)
-        is_pr = rowid == pr  # (n, 1)
-        Prow = P[pl.ds(prc, 1), :]                       # (1, c)
-        # pivot value from the sliced row (a (1, c) lane reduce) and the
-        # scale from a ref slice — instead of two more (n, 1) cross-row
-        # reductions on the latency-bound 128-step chain
-        pv = jnp.sum(jnp.where(slotid == jj, Prow, 0))
-        pv = jnp.where(found, pv, jnp.int32(1))
-        s_pr = sref[pl.ds(prc, 1), :][0, 0]
-        s_pr = jnp.where(found, s_pr, jnp.int32(1))
-        hrow = _mod_balanced_f32(
-            p, H[pl.ds(prc, 1), :]
-            + jnp.where(slotid == kk, s_pr, jnp.int32(0)))
-        colz = jnp.where(found & jnp.logical_not(is_pr), col, 0)
-        pvz = jnp.where(found & jnp.logical_not(is_pr), pv, jnp.int32(1))
-        # |pv*P| + |col*Prow| <= 2*(p/2)^2 < 2^31: exact, one reduction
-        P[:] = _mod_balanced_f32(p, pvz * Pv - colz * Prow)
-        H[:] = _mod_balanced_f32(p, pvz * H[:] - colz * hrow)
-        # pivot row's own slot: H[pr] += (s[pr] - pv) * e_slot
-        w = _mod_balanced_f32(p, s_pr - pv)
-        hpr = H[pl.ds(prc, 1), :]
-        hpr_new = _mod_balanced_f32(
-            p, hpr + jnp.where((slotid == kk) & found, w, jnp.int32(0)))
-        H[pl.ds(prc, 1), :] = hpr_new
-        # scales: every row picks up pv; the pivot row resets to pv
-        s_new = _mod_balanced_f32(p, jnp.where(found, pv, 1) * sv)
-        sref[:] = jnp.where(is_pr & found, pv, s_new)
-        fi = found.astype(jnp.int32)
-        ispiv[:] = jnp.where(is_pr & found, 1, ispiv[:])
-        slot_hit = (slotid == kk) & found
-        prow[:] = jnp.where(slot_hit, pr, prow[:])
-        pcol[:] = jnp.where(slot_hit, jj, pcol[:])
-        pfound[:] = jnp.where(slot_hit, 1, pfound[:])
-        return kk + fi
+    def cond(carry):
+        jj, kk = carry
+        return jj < c
 
-    jax.lax.fori_loop(0, c, body, jnp.int32(0))
+    def body(carry):
+        jj0, kk = carry
+        jj = _next_cand_col(P, ispiv, jj0, j0, npivcols, colid1)
+
+        @pl.when(jj < c)
+        def _step():
+            Pv = P[:]
+            sv = sref[:]
+            col = jnp.sum(jnp.where(colid == jj, Pv, 0), axis=1,
+                          keepdims=True)  # (n, 1)
+            cand = (col != 0) & (ispiv[:] == 0)
+            pr = jnp.min(jnp.where(cand, rowid, jnp.int32(n)))
+            is_pr = rowid == pr  # (n, 1)
+            Prow = P[pl.ds(pr, 1), :]                       # (1, c)
+            # pivot value from the sliced row (a (1, c) lane reduce) and
+            # the scale from a ref slice — instead of two more (n, 1)
+            # cross-row reductions on the latency-bound step chain
+            pv = jnp.sum(jnp.where(slotid == jj, Prow, 0))
+            s_pr = sref[pl.ds(pr, 1), :][0, 0]
+            hrow = _mod_balanced_f32(
+                p, H[pl.ds(pr, 1), :]
+                + jnp.where(slotid == kk, s_pr, jnp.int32(0)))
+            colz = jnp.where(jnp.logical_not(is_pr), col, 0)
+            pvz = jnp.where(jnp.logical_not(is_pr), pv, jnp.int32(1))
+            # |pv*P| + |col*Prow| <= 2*(p/2)^2 < 2^31: exact, one mod
+            P[:] = _mod_balanced_f32(p, pvz * Pv - colz * Prow)
+            H[:] = _mod_balanced_f32(p, pvz * H[:] - colz * hrow)
+            # pivot row's own slot: H[pr] += (s[pr] - pv) * e_slot
+            w = _mod_balanced_f32(p, s_pr - pv)
+            hpr = H[pl.ds(pr, 1), :]
+            hpr_new = _mod_balanced_f32(
+                p, hpr + jnp.where(slotid == kk, w, jnp.int32(0)))
+            H[pl.ds(pr, 1), :] = hpr_new
+            # scales: every row picks up pv; the pivot row resets to pv
+            s_new = _mod_balanced_f32(p, pv * sv)
+            sref[:] = jnp.where(is_pr, pv, s_new)
+            ispiv[:] = jnp.where(is_pr, 1, ispiv[:])
+            slot_hit = slotid == kk
+            prow[:] = jnp.where(slot_hit, pr, prow[:])
+            pcol[:] = jnp.where(slot_hit, jj, pcol[:])
+            pfound[:] = jnp.where(slot_hit, 1, pfound[:])
+
+        stepped = (jj < c).astype(jnp.int32)
+        return jnp.where(jj < c, jj + 1, jnp.int32(c)), kk + stepped
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
 
 # -------------------- tier B (92681 < p < 2**31) --------------------
@@ -282,55 +318,62 @@ def _kernel_b(f: Field, npivcols: int, c: int,
     rowid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     slotid = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     colid = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    colid1 = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     u0 = jnp.uint32(0)
-    u1 = jnp.uint32(1)
 
-    def body(jj, kk):
-        Pv = P[:]
-        col = jnp.sum(jnp.where(colid == jj, Pv, 0), axis=1,
-                      keepdims=True)    # (n, 1) int32, in [0, p)
-        eligible = (j0 + jj) < npivcols
-        cand = (col != 0) & (ispiv[:] == 0) & eligible
-        pr = jnp.min(jnp.where(cand, rowid, jnp.int32(n)))
-        found = pr < n
-        prc = jnp.where(found, pr, 0)
-        is_pr = rowid == pr             # (n, 1)
-        pv = jnp.sum(jnp.where(is_pr, col, 0))
-        pvu = jnp.where(found, pv, 1).astype(jnp.uint32)
-        s_pr = jnp.sum(jnp.where(is_pr, sref[:], 0))
-        s_pru = jnp.where(found, s_pr, 1).astype(jnp.uint32)
-        Prow = P[pl.ds(prc, 1), :].astype(jnp.uint32)   # (1, c)
-        hrow = _addmod_u(
-            p, H[pl.ds(prc, 1), :].astype(jnp.uint32),
-            jnp.where(slotid == kk, s_pru, u0))
-        colu = col.astype(jnp.uint32)
-        colz = jnp.where(found & jnp.logical_not(is_pr), colu, u0)
-        pvz = jnp.where(found & jnp.logical_not(is_pr), pvu, u1)  # (n, 1)
-        Pu = Pv.astype(jnp.uint32)
-        Hu = H[:].astype(jnp.uint32)
-        P[:] = _submod_u(p, _mulmod_u(p, pvz, Pu),
-                         _mulmod_u(p, colz, Prow)).astype(jnp.int32)
-        H[:] = _submod_u(p, _mulmod_u(p, pvz, Hu),
-                         _mulmod_u(p, colz, hrow)).astype(jnp.int32)
-        # pivot row's own slot: H[pr] += (s[pr] - pv) * e_slot
-        w = _submod_u(p, s_pru, pvu)
-        hpr = H[pl.ds(prc, 1), :].astype(jnp.uint32)
-        H[pl.ds(prc, 1), :] = _addmod_u(
-            p, hpr, jnp.where((slotid == kk) & found, w, u0)
-        ).astype(jnp.int32)
-        # scales: every row picks up pv; the pivot row resets to pv
-        sv = sref[:].astype(jnp.uint32)
-        s_new = _mulmod_u(p, jnp.where(found, pvu, u1), sv)
-        sref[:] = jnp.where(is_pr & found, pvu, s_new).astype(jnp.int32)
-        fi = found.astype(jnp.int32)
-        ispiv[:] = jnp.where(is_pr & found, 1, ispiv[:])
-        slot_hit = (slotid == kk) & found
-        prow[:] = jnp.where(slot_hit, pr, prow[:])
-        pcol[:] = jnp.where(slot_hit, jj, pcol[:])
-        pfound[:] = jnp.where(slot_hit, 1, pfound[:])
-        return kk + fi
+    def cond(carry):
+        jj, kk = carry
+        return jj < c
 
-    jax.lax.fori_loop(0, c, body, jnp.int32(0))
+    def body(carry):
+        jj0, kk = carry
+        jj = _next_cand_col(P, ispiv, jj0, j0, npivcols, colid1)
+
+        @pl.when(jj < c)
+        def _step():
+            Pv = P[:]
+            col = jnp.sum(jnp.where(colid == jj, Pv, 0), axis=1,
+                          keepdims=True)    # (n, 1) int32, in [0, p)
+            cand = (col != 0) & (ispiv[:] == 0)
+            pr = jnp.min(jnp.where(cand, rowid, jnp.int32(n)))
+            is_pr = rowid == pr             # (n, 1)
+            pv = jnp.sum(jnp.where(is_pr, col, 0))
+            pvu = pv.astype(jnp.uint32)
+            s_pr = jnp.sum(jnp.where(is_pr, sref[:], 0))
+            s_pru = s_pr.astype(jnp.uint32)
+            Prow = P[pl.ds(pr, 1), :].astype(jnp.uint32)   # (1, c)
+            hrow = _addmod_u(
+                p, H[pl.ds(pr, 1), :].astype(jnp.uint32),
+                jnp.where(slotid == kk, s_pru, u0))
+            colu = col.astype(jnp.uint32)
+            colz = jnp.where(jnp.logical_not(is_pr), colu, u0)
+            pvz = jnp.where(jnp.logical_not(is_pr), pvu,
+                            jnp.uint32(1))  # (n, 1)
+            Pu = Pv.astype(jnp.uint32)
+            Hu = H[:].astype(jnp.uint32)
+            P[:] = _submod_u(p, _mulmod_u(p, pvz, Pu),
+                             _mulmod_u(p, colz, Prow)).astype(jnp.int32)
+            H[:] = _submod_u(p, _mulmod_u(p, pvz, Hu),
+                             _mulmod_u(p, colz, hrow)).astype(jnp.int32)
+            # pivot row's own slot: H[pr] += (s[pr] - pv) * e_slot
+            w = _submod_u(p, s_pru, pvu)
+            hpr = H[pl.ds(pr, 1), :].astype(jnp.uint32)
+            H[pl.ds(pr, 1), :] = _addmod_u(
+                p, hpr, jnp.where(slotid == kk, w, u0)).astype(jnp.int32)
+            # scales: every row picks up pv; the pivot row resets to pv
+            sv = sref[:].astype(jnp.uint32)
+            s_new = _mulmod_u(p, pvu, sv)
+            sref[:] = jnp.where(is_pr, pvu, s_new).astype(jnp.int32)
+            ispiv[:] = jnp.where(is_pr, 1, ispiv[:])
+            slot_hit = slotid == kk
+            prow[:] = jnp.where(slot_hit, pr, prow[:])
+            pcol[:] = jnp.where(slot_hit, jj, pcol[:])
+            pfound[:] = jnp.where(slot_hit, 1, pfound[:])
+
+        stepped = (jj < c).astype(jnp.int32)
+        return jnp.where(jj < c, jj + 1, jnp.int32(c)), kk + stepped
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
