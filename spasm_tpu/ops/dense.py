@@ -407,6 +407,14 @@ def blocked_finish_step(f: Field, shape, panel: int,
 # and matmul transients (3e8 int32 elements = 1.2 GB)
 FUSED_BUDGET = 300_000_000
 
+# K-chunk size for the fused finish's masked eliminate / back-eliminate
+# matmuls: the accumulated panel has only r_d live rows, so both big
+# matmuls run a dynamic-trip-count loop over KC-row chunks and skip the
+# dead tail (rows >= r_d are zero; empty pc_map slots hit zero Ud rows,
+# so a partially-live chunk is exact).  The panel capacity is padded to a
+# KC multiple.  Tests shrink this to cross chunk boundaries cheaply.
+_FUSED_KC = 4096
+
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def fused_blocked_finish(f: Field, shape, npiv: int, bs: int, panel: int,
@@ -429,14 +437,25 @@ def fused_blocked_finish(f: Field, shape, npiv: int, bs: int, panel: int,
     n_pad, na = shape
     nblocks = n_pad // bs
     nmax = min(bs, npiv)
-    cap = _bucket(min(n_pad, npiv)) + bs
+    KC = _FUSED_KC
+    cap = -(-(_bucket(min(n_pad, npiv)) + bs) // KC) * KC
     X = jnp.zeros((n_pad, na), jnp.int32).at[rows, cols].add(vals)
 
     def body(carry):
         b, Ud, pc_map, r_d, ranks, prows, pcols = carry
-        Xb = jax.lax.dynamic_slice(X, (b * bs, 0), (bs, na))
-        coeff = Xb[:, pc_map]  # empty slots hit zero Ud rows
-        Xb = modmul.sub(f, Xb, modmatmul(f, coeff, Ud))
+        Xb0 = jax.lax.dynamic_slice(X, (b * bs, 0), (bs, na))
+        nkc_live = (r_d + KC - 1) // KC
+
+        def kbody(c, acc):
+            start = c * KC
+            pcc = jax.lax.dynamic_slice(pc_map, (start,), (KC,))
+            Uc = jax.lax.dynamic_slice(Ud, (start, 0), (KC, na))
+            coeff = Xb0[:, pcc]  # empty slots hit zero Ud rows
+            return modmul.add(f, acc, modmatmul(f, coeff, Uc))
+
+        corr = jax.lax.fori_loop(0, nkc_live, kbody,
+                                 jnp.zeros((bs, na), jnp.int32))
+        Xb = modmul.sub(f, Xb0, corr)
         R, new_rank, prow_of, pcol_of, _ = rref_inplace(f, Xb, npiv, panel)
         if nmax < bs:
             prow_of = jnp.pad(prow_of, (0, bs - nmax), constant_values=-1)
@@ -446,8 +465,17 @@ def fused_blocked_finish(f: Field, shape, npiv: int, bs: int, panel: int,
         gather = jnp.where(live, jnp.clip(prow_of[:bs], 0, bs - 1), 0)
         newU = jnp.where(live[:, None], R[gather, :], 0)
         npc = jnp.where(live, jnp.clip(pcol_of[:bs], 0, na - 1), 0)
-        co = jnp.where(live[None, :], Ud[:, npc], 0)
-        Ud = modmul.sub(f, Ud, modmatmul(f, co, newU))
+
+        # back-eliminate only the live rows of Ud (rows >= r_d are zero,
+        # so skipped chunks are exact no-ops)
+        def mbody(c, Ud):
+            start = c * KC
+            Udc = jax.lax.dynamic_slice(Ud, (start, 0), (KC, na))
+            coc = jnp.where(live[None, :], Udc[:, npc], 0)
+            Udc = modmul.sub(f, Udc, modmatmul(f, coc, newU))
+            return jax.lax.dynamic_update_slice(Ud, Udc, (start, 0))
+
+        Ud = jax.lax.fori_loop(0, nkc_live, mbody, Ud)
         Ud = jax.lax.dynamic_update_slice(Ud, newU, (r_d, 0))
         pc_map = jax.lax.dynamic_update_slice(
             pc_map, jnp.where(live, npc, 0), (r_d,))

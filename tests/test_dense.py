@@ -154,3 +154,47 @@ def test_grouped_panels_neumann(rng, group):
         run_case(104729, Y, panel=8)
     finally:
         dense._FORCE_GROUP = old
+
+
+def test_fused_blocked_finish_chunked(rng):
+    # the single-dispatch fused finish with its dynamic K/M-chunked
+    # eliminate / back-eliminate (KC=1024): cross the chunk boundary
+    # (r_d > KC) and include rank deficiency, vs the plain rref oracle
+    import jax.numpy as jnp
+
+    from spasm_tpu.ops import dense as dense_ops
+
+    f = field(42013)
+    n, m = 400, 384
+    X = f.rand((n, m), rng).astype(np.int64)
+    X[300:] = f.normalize(X[:100] * 7)      # dependent tail rows
+    coo_r, coo_c = np.nonzero(X)
+    vals = X[coo_r, coo_c]
+    bs = 128
+    n_pad = -(-n // bs) * bs
+    old_kc = dense_ops._FUSED_KC
+    dense_ops._FUSED_KC = 128       # r_d = 300 crosses 2 chunk boundaries
+    try:
+        Ud, pc_map, r_d, ranks, prows, pcols = (
+            dense_ops.fused_blocked_finish(
+                f, (n_pad, m), m, bs, 128,
+                jnp.asarray(coo_r, jnp.int32), jnp.asarray(coo_c, jnp.int32),
+                jnp.asarray(vals, jnp.int32)))
+    finally:
+        dense_ops._FUSED_KC = old_kc
+    r_d = int(r_d)
+    assert r_d == 300
+    piv_cols_loc = []
+    ranks = np.asarray(ranks)
+    pcols = np.asarray(pcols)
+    for b in np.flatnonzero(ranks):
+        piv_cols_loc.extend(pcols[b, : int(ranks[b])].tolist())
+    U = dense_ops.extract_u_csr(Ud, pc_map, r_d, m, piv_cols_loc).toarray()
+    # canonical mutual-RREF: rows sorted by pivot col must equal oracle
+    # (oracle object values may be negative representatives — re-mod both)
+    order = np.argsort(piv_cols_loc)
+    got = f.to_unsigned(f.normalize(U[order])) % f.p
+    rank_o, R_o, pc_o = oracle_rref(42013, X)
+    assert rank_o == r_d
+    assert (np.sort(piv_cols_loc) == pc_o).all()
+    assert (got == R_o % f.p).all()
