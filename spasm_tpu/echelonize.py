@@ -614,10 +614,17 @@ def _round_schur_estimate(f: Field, S, prows, pcols):
     Upart = S[prows]  # (npiv, m) in pivot order
     piv_vals = np.asarray(
         Upart[np.arange(npiv), pcols]).ravel().astype(np.int64)
-    scales = f.inv(piv_vals)
     Upart = sp.csr_matrix(Upart)
     row_of_entry = np.repeat(np.arange(npiv), np.diff(Upart.indptr))
-    Upart.data = f.normalize(Upart.data * scales[row_of_entry])
+    if piv_vals.size and np.abs(piv_vals).max() <= 1:
+        # +-1 pivots (boundary matrices, the reference's real domain):
+        # the inverse equals the value, and multiplying balanced data by
+        # +-1 stays balanced — skip the Fermat inverses AND the normalize
+        # pass (~0.6 s at 20M pivot-block nnz)
+        Upart.data = Upart.data * piv_vals[row_of_entry]
+    else:
+        scales = f.inv(piv_vals)
+        Upart.data = f.normalize(Upart.data * scales[row_of_entry])
     # New-block levels are self-contained: S rows already have zeros at
     # all earlier pivot columns, so cross-block edges cannot exist here.
     Ublock_w = SparseGFp.from_scipy(Upart, f.p, assume_canonical=True)
@@ -694,7 +701,12 @@ def schur_estimate_density(f: Field, U_sp, piv_cols, levels, S_rest,
                            samples: int = 100, rng=None):
     """Monte-Carlo Schur density estimate (``spasm_schur_estimate_density``,
     src/SpaSM.jl:763): eliminate a random sample of the remaining rows and
-    measure the resulting fill."""
+    measure the resulting fill.
+
+    The elimination of ~100 sample rows only ever touches the pivot rows
+    in the reachability closure of their column support, so the pivot
+    block is first restricted to that closure (a tiny fraction of a
+    multi-million-row U) instead of slicing the full block per level."""
     q, m = S_rest.shape
     if q == 0 or m == 0:
         return 0.0
@@ -704,6 +716,34 @@ def schur_estimate_density(f: Field, U_sp, piv_cols, levels, S_rest,
         rng = np.random.default_rng(0) if rng is None else rng
         rows = rng.choice(q, size=samples, replace=False)
         sample = S_rest[np.sort(rows)]
+    piv_cols = np.asarray(piv_cols, np.int64)
+    r = U_sp.shape[0]
+    if r > 4 * samples:
+        pc_of_col = np.full(m, -1, np.int64)
+        pc_of_col[piv_cols] = np.arange(r)
+        need = np.zeros(r, bool)
+        frontier = np.unique(sample.indices)
+        while frontier.size:
+            k = pc_of_col[frontier]
+            k = k[k >= 0]
+            k = k[~need[k]]
+            if k.size == 0:
+                break
+            need[k] = True
+            lo, hi = U_sp.indptr[k], U_sp.indptr[k + 1]
+            lens = hi - lo
+            total = int(lens.sum())
+            if total == 0:
+                break
+            # vectorized multi-range gather of the new rows' columns
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            idx = np.repeat(lo, lens) + (np.arange(total) - starts)
+            frontier = np.unique(U_sp.indices[idx])
+        sel = np.flatnonzero(need)
+        if sel.size < r:
+            U_sp = U_sp[sel]
+            piv_cols = piv_cols[sel]
+            levels = levels[sel]
     out, _ = wave_eliminate(f, U_sp, piv_cols, levels, sample,
                             assume_canonical=True)
     return out.nnz / max(1, out.shape[0] * m)

@@ -84,7 +84,7 @@ def fl_row_pivots(A: SparseGFp, row_mask=None, col_mask=None):
     return rows[first], min_col[first]
 
 
-def fl_col_pivots(A: SparseGFp, col_selected, row_used):
+def fl_col_pivots(A: SparseGFp, col_selected, row_used, entries=None):
     """Faugère-Lachartre "on columns" (README.md:22): for each unused
     column, the topmost unused row; a candidate row is accepted only if it
     has no entries in already-selected columns.
@@ -95,12 +95,23 @@ def fl_col_pivots(A: SparseGFp, col_selected, row_used):
     earlier -> later; the explicit column check handles edges vs the
     FL-row pivots (which precede them in the global list).
 
+    entries: optional (re_u, ci_u) — the (row, col) pairs of the entries
+    of currently-UNUSED rows, precomputed by the caller so the unused-row
+    compression is shared across strategies (one pass over nnz instead of
+    one per strategy; at 50M+ nnz these passes dominate pivot search).
+
     Returns (rows, cols) in decreasing-row order; masks updated in place.
     """
     n, m = A.shape
-    i = A.rows_expanded()
-    j = A.indices
-    cand = (~row_used[i]) & (~col_selected[j])
+    if entries is None:
+        i = A.rows_expanded()
+        j = A.indices
+        keep = ~row_used[i]
+        i, j = i[keep], j[keep]
+    else:
+        i, j = entries
+    i_u, j_u = i, j  # unused-row entries (for the invariant check below)
+    cand = ~col_selected[j]
     i, j = i[cand], j[cand]
     if i.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
@@ -122,10 +133,11 @@ def fl_col_pivots(A: SparseGFp, col_selected, row_used):
     rows_c, cols_c = rows_c[order], cols_c[order]
     # append-invariant check vs previously selected columns (vectorized:
     # per-row count of entries landing in already-selected columns;
-    # np.bincount is the fast C path for counting scatters)
-    sel_entries = col_selected[A.indices]
+    # np.bincount is the fast C path for counting scatters).  Candidate
+    # rows are unused, so the unused-row entry set suffices.
+    sel_entries = col_selected[j_u]
     if sel_entries.any():
-        hits = np.bincount(A.rows_expanded()[sel_entries], minlength=A.n)
+        hits = np.bincount(i_u[sel_entries], minlength=A.n)
         ok = hits[rows_c] == 0
     else:
         ok = np.ones(rows_c.size, bool)
@@ -139,7 +151,7 @@ def fl_col_pivots(A: SparseGFp, col_selected, row_used):
 
 def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
                   piv_pos_of_col, col_touch_max, max_passes=2,
-                  mopup=True):
+                  mopup=True, entries=None):
     """Greedy cycle-free completion by fractional-position insertion.
 
     The selected pivots carry real-valued *positions* whose sorted order is
@@ -165,13 +177,19 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
     lengths = A.row_lengths()
     col_counts = np.bincount(A.indices, minlength=m).astype(np.int64)
     sel_r, sel_c, sel_p = [], [], []
-    # Compress ONCE to the entries of currently-unused rows; accepted rows'
-    # entries are dropped incrementally, so every pass costs O(live
-    # entries), not O(nnz) (at 50M+ nnz the per-pass recompression used to
-    # dominate the whole pivot search).
-    keep = ~row_used[A.rows_expanded()]
-    re = A.rows_expanded()[keep]
-    ci = A.indices[keep].astype(np.int64)
+    # Compress ONCE to the entries of currently-unused rows (or narrow the
+    # caller-shared compression); accepted rows' entries are dropped
+    # incrementally, so every pass costs O(live entries), not O(nnz)
+    # (at 50M+ nnz the per-pass recompression used to dominate the whole
+    # pivot search).
+    if entries is None:
+        keep = ~row_used[A.rows_expanded()]
+        re = A.rows_expanded()[keep]
+        ci = A.indices[keep].astype(np.int64)
+    else:
+        re, ci = entries
+        keep = ~row_used[re]
+        re, ci = re[keep], ci[keep]
 
     # Batched greedy: each pass computes every unused row's best insertable
     # column under the CURRENT state, then accepts a mutually
@@ -333,7 +351,15 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None,
     row_used = np.zeros(n, bool)
     col_selected[fl_c] = True
     row_used[fl_r] = True
-    c_r, c_c = fl_col_pivots(A, col_selected, row_used)
+    # ONE unused-row compression shared by FL-cols and the greedy (each
+    # strategy used to re-walk the full entry set; these single-threaded
+    # NumPy passes dominate pivot search at tens of M nnz)
+    re_all = A.rows_expanded()
+    keep_u = ~row_used[re_all]
+    re_u = re_all[keep_u]
+    ci_u = A.indices[keep_u].astype(np.int64)
+    c_r, c_c = fl_col_pivots(A, col_selected, row_used,
+                             entries=(re_u, ci_u))
 
     rows = np.concatenate([fl_r, c_r])
     cols = np.concatenate([fl_c, c_c])
@@ -344,18 +370,24 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None,
         piv_pos_of_col[cols] = pos
         col_touch_max = np.full(m, -np.inf)
         # vectorized: scatter-max each selected row's position onto its
-        # support columns in one call
+        # support columns — FL rows from the compression complement,
+        # FL-col rows from the unused-row set (they were unused at the
+        # compression point)
         if rows.size:
             pos_of_row = np.full(n, -np.inf)
             pos_of_row[rows] = pos
-            re = A.rows_expanded()
-            touch = pos_of_row[re]
-            live = np.isfinite(touch)
-            scatter_max(col_touch_max, A.indices[live].astype(np.int64),
-                        touch[live])
+            if fl_r.size:
+                ci_s = A.indices[~keep_u].astype(np.int64)
+                scatter_max(col_touch_max, ci_s,
+                            pos_of_row[re_all[~keep_u]])
+            if c_r.size:
+                touch = pos_of_row[re_u]
+                live = np.isfinite(touch)
+                scatter_max(col_touch_max, ci_u[live], touch[live])
         g_r, g_c, g_p = greedy_pivots(A, col_selected, row_used, pos,
                                       piv_pos_of_col, col_touch_max,
-                                      mopup=greedy_mopup)
+                                      mopup=greedy_mopup,
+                                      entries=(re_u, ci_u))
         rows = np.concatenate([rows, g_r])
         cols = np.concatenate([cols, g_c])
         pos = np.concatenate([pos, g_p])
