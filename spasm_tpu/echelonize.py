@@ -25,6 +25,7 @@ column j or -1), p maps U rows to original A rows, and L (optional,
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import scipy.sparse as sp
@@ -298,20 +299,26 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         Sw = SparseGFp.from_scipy(S, f.p, assume_canonical=True)
         t0 = wtime()
         fl = None
+        col_election = None
         if mesh is not None:
-            # distributed FL election over the mesh (two pmin all-reduces);
-            # bit-identical to the host fl_row_pivots, so the FL-cols +
-            # greedy completion below proceed unchanged on the residual
-            from .parallel.sparse_sharded import sharded_fl_election
+            # distributed FL-rows AND FL-cols elections over the mesh
+            # (pmin all-reduces); both bit-identical to the host
+            # strategies, so the greedy completion below proceeds
+            # unchanged on the (small) residual
+            from .parallel.sparse_sharded import (sharded_fl_col_election,
+                                                  sharded_fl_election)
 
             fl = sharded_fl_election(f, mesh, Sw)
+            col_election = functools.partial(
+                sharded_fl_col_election, f, mesh, Sw)
         # (measured: skipping the greedy's sequential mop-up here to save
         # ~0.1 s of host Python flips the round-0 density gate on
         # knife-edge instances — fewer pivots => lower estimated density
         # => a host Schur round that costs more than the mop-up saved —
         # so the full search always runs)
         prows, pcols, counts = find_structural_pivots(
-            Sw, enable_greedy=opts.enable_greedy_pivot_search, fl=fl)
+            Sw, enable_greedy=opts.enable_greedy_pivot_search, fl=fl,
+            col_election=col_election)
         log(f"[pivots] Faugère-Lachartre: {counts['faugere-lachartre']} "
             f"pivots found [{wtime() - t0:.1f}s]")
         log(f"[pivots] ``Faugère-Lachartre on columns'': "

@@ -141,6 +141,82 @@ def sharded_fl_election(f: Field, mesh: Mesh, B: SparseGFp,
     return prows, pcols
 
 
+def sharded_fl_col_election(f: Field, mesh: Mesh, B: SparseGFp,
+                            col_selected, row_used, axis: str = "rows"):
+    """Faugère-Lachartre "on columns" elected on device over the mesh —
+    bit-identical to ``pivots.fl_col_pivots`` and shard-count invariant.
+
+    Device phase (one shard_map): per shard, (a) the topmost candidate
+    global row per unselected column (rows must be locally unused), pmin
+    over the mesh; (b) each local row's count of entries in already-
+    selected columns (the append-invariant check), returned row-sharded.
+    Host phase: O(m) dedup (one pivot per row via min column), invariant
+    filter, decreasing-row order — exactly the host strategy's steps.
+
+    Masks are updated in place like ``fl_col_pivots``.  Returns
+    (rows, cols) in decreasing-row order.
+    """
+    nshards = mesh.shape[axis]
+    n, m = B.shape
+    per_nnz = max(1, -(-B.nnz // nshards))
+    cap = max(1024, 1 << (2 * per_nnz - 1).bit_length())
+    rows_l, cols_l, vals_l, per = shard_rows(B, nshards, cap)
+    ru_flat = np.zeros(nshards * per, np.int32)
+    ru_flat[:n] = row_used
+    ru_l = ru_flat.reshape(nshards, per)
+
+    sharding = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    rows_d = _global_put(rows_l, sharding)
+    cols_d = _global_put(cols_l, sharding)
+    ru_d = _global_put(ru_l, sharding)
+    cs_d = _global_put(col_selected.astype(np.int32), rep)
+
+    def body(r_l, c_l, ru_row, cs_):
+        sid = jax.lax.axis_index(axis).astype(jnp.int32)
+        rows, cols, ru1 = r_l[0], c_l[0], ru_row[0]
+        live = rows < per
+        rsafe = jnp.where(live, rows, per)
+        csafe = jnp.where(live, cols, m)
+        ru_pad = jnp.concatenate([ru1, jnp.ones((1,), jnp.int32)])
+        cs_pad = jnp.concatenate([cs_, jnp.ones((1,), jnp.int32)])
+        cand = live & (ru_pad[rsafe] == 0) & (cs_pad[csafe] == 0)
+        gid = sid * per + rsafe
+        mr = jnp.full(m + 1, BIG, jnp.int32).at[csafe].min(
+            jnp.where(cand, gid, BIG))
+        mr_g = jax.lax.pmin(mr, axis)
+        hits = jnp.zeros(per + 1, jnp.int32).at[rsafe].add(
+            (live & (cs_pad[csafe] == 1)).astype(jnp.int32))
+        return mr_g[:m][None], hits[:per][None]
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P()),
+        out_specs=(P(), P(axis, None))))
+    mr_g, hits_d = fn(rows_d, cols_d, ru_d, cs_d)
+    mr_g = np.asarray(jax.device_get(mr_g)).ravel()[:m]
+    hits = _global_get(hits_d).ravel()[:n]
+    cols_c = np.flatnonzero(mr_g < BIG).astype(np.int64)
+    rows_c = mr_g[cols_c].astype(np.int64)
+    if rows_c.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    # one pivot per row: keep the smallest column of each winner row
+    from ..native import scatter_min
+
+    min_col = np.full(n, m, np.int64)
+    scatter_min(min_col, rows_c, cols_c)
+    keep = min_col[rows_c] == cols_c
+    rows_c, cols_c = rows_c[keep], cols_c[keep]
+    order = np.argsort(rows_c, kind="stable")
+    rows_c, cols_c = rows_c[order], cols_c[order]
+    ok = hits[rows_c] == 0
+    rows_c, cols_c = rows_c[ok], cols_c[ok]
+    rows_c, cols_c = rows_c[::-1].copy(), cols_c[::-1].copy()
+    row_used[rows_c] = True
+    col_selected[cols_c] = True
+    return rows_c, cols_c
+
+
 def sharded_sparse_eliminate(f: Field, mesh: Mesh, U: SparseGFp, piv_cols,
                              levels, B: SparseGFp, cap_factor: int = 8,
                              axis: str = "rows"):

@@ -331,7 +331,7 @@ def _greedy_sequential(A, col_selected, row_used, piv_pos_of_col,
 
 
 def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None,
-                           greedy_mopup=True):
+                           greedy_mopup=True, col_election=None):
     """One round of structural pivot selection on the (current Schur) matrix
     A.  Returns (rows, cols, counts_by_strategy) with the global list in
     append-invariant order: FL pivots (by column), then greedy completions.
@@ -340,6 +340,12 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None,
     increasing-column order — e.g. from the distributed device election
     (parallel.sparse_sharded.sharded_fl_election), which is bit-identical
     to ``fl_row_pivots``.
+
+    col_election: optional callable (col_selected, row_used) ->
+    (rows, cols) replacing the host FL-cols strategy — e.g. the device
+    mesh election (parallel.sparse_sharded.sharded_fl_col_election),
+    bit-identical to ``fl_col_pivots``.  It must update both masks in
+    place and return decreasing-row order.
     """
     n, m = A.shape
     fl_r, fl_c = fl if fl is not None else fl_row_pivots(A)
@@ -358,8 +364,11 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None,
     keep_u = ~row_used[re_all]
     re_u = re_all[keep_u]
     ci_u = A.indices[keep_u].astype(np.int64)
-    c_r, c_c = fl_col_pivots(A, col_selected, row_used,
-                             entries=(re_u, ci_u))
+    if col_election is not None:
+        c_r, c_c = col_election(col_selected, row_used)
+    else:
+        c_r, c_c = fl_col_pivots(A, col_selected, row_used,
+                                 entries=(re_u, ci_u))
 
     rows = np.concatenate([fl_r, c_r])
     cols = np.concatenate([fl_c, c_c])

@@ -141,3 +141,40 @@ def test_echelonize_device_sparse_rounds(rng):
     f_host = echelonize(A)
     assert f_dev.r == f_host.r
     assert rref_of_U(f_dev) == rref_of_U(f_host)
+
+
+@pytest.mark.parametrize("n,m,d", [(64, 70, 0.08), (120, 90, 0.04)])
+def test_fl_col_election_matches_host(mesh, rng, n, m, d):
+    from spasm_tpu.parallel.sparse_sharded import sharded_fl_col_election
+    from spasm_tpu.pivots import fl_col_pivots
+
+    A = SparseGFp.rand(F, n, m, d, rng)
+    hr, hc = fl_row_pivots(A)
+    cs_h = np.zeros(m, bool); ru_h = np.zeros(n, bool)
+    cs_h[hc] = True; ru_h[hr] = True
+    cs_d, ru_d = cs_h.copy(), ru_h.copy()
+    gr_h, gc_h = fl_col_pivots(A, cs_h, ru_h)
+    gr_d, gc_d = sharded_fl_col_election(F, mesh, A, cs_d, ru_d)
+    np.testing.assert_array_equal(gr_d, gr_h)
+    np.testing.assert_array_equal(gc_d, gc_h)
+    np.testing.assert_array_equal(cs_d, cs_h)
+    np.testing.assert_array_equal(ru_d, ru_h)
+
+
+def test_fl_col_election_shard_count_invariant(rng):
+    from spasm_tpu.parallel.sparse_sharded import sharded_fl_col_election
+    from spasm_tpu.pivots import fl_col_pivots
+
+    A = SparseGFp.rand(F, 90, 110, 0.05, rng)
+    hr, hc = fl_row_pivots(A)
+    cs0 = np.zeros(110, bool); ru0 = np.zeros(90, bool)
+    cs0[hc] = True; ru0[hr] = True
+    cs_h, ru_h = cs0.copy(), ru0.copy()
+    gr_h, gc_h = fl_col_pivots(A, cs_h, ru_h)
+    for nd in (1, 2, 4, 8):
+        cs_d, ru_d = cs0.copy(), ru0.copy()
+        gr_d, gc_d = sharded_fl_col_election(F, make_mesh(nd), A, cs_d,
+                                             ru_d)
+        np.testing.assert_array_equal(gr_d, gr_h)
+        np.testing.assert_array_equal(gc_d, gc_h)
+        np.testing.assert_array_equal(cs_d, cs_h)
