@@ -128,9 +128,22 @@ def _elimination_round_local(f: Field, C: int, axis: str, X, row_offset):
     bounds = [m * s // n_stripes for s in range(n_stripes + 1)]
     U_parts = []
     X_parts = []
+    prev_Us = None
     for s in range(n_stripes):
         s0, s1 = bounds[s], bounds[s + 1]
-        Us = jax.lax.psum(contrib[:, s0:s1], axis)    # stripe exchange
+        sl = contrib[:, s0:s1]
+        if prev_Us is not None:
+            # Software pipeline: chain this stripe's exchange on the
+            # PREVIOUS exchanged stripe (not on its matmuls) via an
+            # optimization barrier.  Without it XLA's all-reduce combiner
+            # merges every stripe psum into ONE tuple all-reduce (seen in
+            # the optimized HLO at these sizes), i.e. a single blocking
+            # exchange; with the chain, stripe s+1's all-reduce runs
+            # concurrently with stripe s's MXU updates (which the psum
+            # does not depend on) — the intended exchange/compute overlap.
+            sl, _ = jax.lax.optimization_barrier((sl, prev_Us))
+        Us = jax.lax.psum(sl, axis)                   # stripe exchange
+        prev_Us = Us
         Ur = modmatmul(f, S_norm, Us)                 # normalized stripe
         U_parts.append(Ur)
         X_parts.append(modmul.sub(f, X[:, s0:s1], modmatmul(f, coeff, Ur)))

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Compile-level evidence for the striped pivot-exchange schedule
+(parallel/sharded.py — SURVEY.md §2.11 item 4).
+
+One real chip cannot demonstrate multi-chip overlap at runtime, so this
+tool inspects what the compiler actually DID with the stripe schedule on
+an 8-device host mesh:
+
+* StableHLO: the stripe psums must be chained through optimization
+  barriers (the software pipeline: stripe s+1's exchange depends on
+  stripe s's exchanged result, NOT on its matmuls — so the scheduler may
+  run exchange(s+1) concurrently with compute(s)).
+* Optimized HLO: reports whether the backend kept the stripes as
+  separate all-reduces (pipelined exchange — overlap possible) or
+  combined them into one tuple all-reduce (batched exchange — one
+  amortized round-trip, no overlap).  XLA:CPU expands optimization
+  barriers before its all-reduce combiner, so on the CPU emulation mesh
+  the stripes combine; pipelines that keep barriers until scheduling
+  (TPU) preserve the chain.  Both outcomes are mathematically identical
+  (tests assert shard-count invariance); this tool records which one the
+  present backend produced instead of asserting overlap that was never
+  measured.
+
+Run: python tools/overlap_evidence.py
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from spasm_tpu.field import field  # noqa: E402
+from spasm_tpu.parallel.sharded import make_mesh, elimination_round  # noqa: E402
+
+
+def main():
+    f = field(42013)
+    mesh = make_mesh(8)
+    m = 16384
+    X = jax.device_put(jnp.zeros((512, m), jnp.int32),
+                       NamedSharding(mesh, P("rows", None)))
+    jitted = jax.jit(lambda X: elimination_round(f, mesh, X))
+    low = jitted.lower(X)
+    n_barriers = low.as_text().count("optimization_barrier")
+    opt = low.compile().as_text()
+    lines = opt.splitlines()
+    ars = [l for l in lines if "all-reduce(" in l]
+    n_tuple = sum(1 for l in ars if l.strip().startswith("%all-reduce")
+                  and "(s32[" in l.split("all-reduce(")[0])
+    # order of collectives vs dots in the optimized schedule text
+    order = []
+    for l in lines:
+        if "all-reduce(" in l:
+            order.append("AR")
+        elif "dot(" in l and "custom-call" not in l:
+            order.append("DOT")
+    interleaved = "AR" in "".join(
+        o for o in order[order.index("AR") if "AR" in order else 0:])
+    out = {
+        "stablehlo_barriers": n_barriers,
+        "optimized_all_reduces": len(ars),
+        "tuple_combined": n_tuple > 0,
+        "schedule_order": "".join("A" if o == "AR" else "d"
+                                  for o in order)[:120],
+        "verdict": ("pipelined stripes (separate all-reduces)"
+                    if len(ars) >= 6 else
+                    "batched exchange (combiner merged stripes; barriers "
+                    "expanded before combining on this backend)"),
+    }
+    print(json.dumps(out, indent=1))
+    assert n_barriers >= 1, "stripe chain missing from the lowered program"
+    assert interleaved or ars, "no collectives found"
+
+
+if __name__ == "__main__":
+    main()
