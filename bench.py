@@ -115,6 +115,23 @@ def main():
         "nnz_per_s": round(C.nnz / wall_c, 1),
     }
 
+    # kernel (null-space) basis — the other headline derived op
+    D = simplex_boundary(LARGE_N, 8)  # d8 on 26: 3.1M x 1.56M, 28.1M nnz
+    runs_k = []
+    K = None
+    for _ in range(2):
+        t0 = time.time()
+        K = st.kernel(D)
+        runs_k.append(round(time.time() - t0, 3))
+    wall_k = min(runs_k)
+    assert K.shape == (D.shape[1] - comb(LARGE_N - 1, 8), D.shape[1])
+    kernel_detail = {
+        "case": f"kernel basis, simplex boundary d8 on {LARGE_N} vertices",
+        "shape": list(D.shape), "nnz": D.nnz,
+        "kernel_rows": K.shape[0], "kernel_nnz": K.nnz,
+        "wall_s": wall_k, "runs_s": runs_k,
+    }
+
     print(json.dumps({
         "metric": f"rank {N}x{N} d={DENSITY} mod 42013 throughput",
         "value": round(value, 1),
@@ -130,6 +147,7 @@ def main():
                 "nnz_per_s": round(B.nnz / wall_b, 1),
             },
             "structured_large": large_detail,
+            "kernel_basis": kernel_detail,
         },
     }))
 
