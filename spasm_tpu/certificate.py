@@ -101,8 +101,52 @@ class SpasmPRNG:
                 v = r
                 return v - self.prime if v > self.prime // 2 else v
 
+    def _block_words(self, nblocks: int) -> np.ndarray:
+        """The next nblocks*8 u32 words of the counter-mode stream."""
+        pack = struct.pack
+        sha = hashlib.sha256
+        seed = self.seed
+        pr = self.prime & 0xFFFFFFFF
+        sq = self.seq & 0xFFFFFFFF
+        raw = bytearray(nblocks * 32)
+        for b in range(nblocks):
+            raw[b * 32:(b + 1) * 32] = sha(
+                seed + pack("<III", pr, self.counter, sq)).digest()
+            self.counter += 1
+        return np.frombuffer(bytes(raw), dtype=">u4").astype(np.uint64)
+
     def zzp_vector(self, k: int) -> np.ndarray:
-        return np.array([self.zzp() for _ in range(k)], dtype=np.int64)
+        """k field elements — bit-identical to k ``zzp()`` calls (same
+        word stream, same rejection rule), vectorized: the per-element
+        Python loop cost ~1.7 us/draw, which dominated certificate
+        verification at n in the millions (8.9 s of a 9 s verify at d9)."""
+        out = np.empty(k, np.int64)
+        filled = 0
+        p = self.prime
+        half = p // 2
+        mask = self.mask
+        while filled < k:
+            need = k - filled
+            if self.buf:
+                words = np.asarray(self.buf, dtype=np.uint64)
+                self.buf = []
+            else:
+                # acceptance rate = p / (mask + 1) > 1/2; 2.2x margin
+                nblocks = max(1, -(-int(need * 2.2) // 8))
+                words = self._block_words(nblocks)
+            masked = words & np.uint64(mask)
+            acc = masked < np.uint64(p)
+            vals = masked[acc]
+            take = min(vals.size, need)
+            v = vals[:take].astype(np.int64)
+            out[filled:filled + take] = np.where(v > half, v - p, v)
+            filled += take
+            if filled >= k and take:
+                # push unconsumed words (everything after the k-th
+                # acceptance) back for subsequent scalar/vector draws
+                last_word = np.flatnonzero(acc)[take - 1]
+                self.buf = [int(w) for w in words[last_word + 1:]]
+        return out
 
 
 @dataclasses.dataclass

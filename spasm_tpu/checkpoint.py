@@ -22,7 +22,7 @@ SCHEMA = 1
 
 def save_state(path: str, *, field_p: int, round_idx: int, r: int,
                S, row_origin, U_sp, piv_cols, piv_origin, opts_dict,
-               L_parts=None):
+               L_parts=None, L_rev_segments=()):
     """Persist an in-progress echelonization (atomic)."""
     S = sp.csr_matrix(S)
     U_sp = sp.csr_matrix(U_sp)
@@ -45,6 +45,8 @@ def save_state(path: str, *, field_p: int, round_idx: int, r: int,
             [np.asarray(t[1], np.int64) for t in L_parts])
         payload["L_v"] = np.concatenate(
             [np.asarray(t[2], np.int64) for t in L_parts])
+    if L_rev_segments:
+        payload["L_seg"] = np.asarray(list(L_rev_segments), np.int64)
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
@@ -78,6 +80,8 @@ def load_state(path: str) -> dict:
             out["L_parts"] = [(z["L_i"], z["L_j"], z["L_v"])]
         else:
             out["L_parts"] = []
+        out["L_rev_segments"] = ([tuple(row) for row in z["L_seg"]]
+                                 if "L_seg" in z.files else [])
     return out
 
 
@@ -102,6 +106,8 @@ def save_lu(path: str, fact) -> None:
     if fact.L is not None:
         payload.update(L_indptr=fact.L.indptr, L_indices=fact.L.indices,
                        L_data=fact.L.data)
+        if fact.lp_order is not None:
+            payload.update(lp_order=np.asarray(fact.lp_order, np.int64))
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         np.savez_compressed(fh, **payload)
@@ -128,9 +134,12 @@ def load_lu(path: str):
                           z["L_indices"].astype(np.int32),
                           z["L_data"].astype(np.int32), _canonical=True)
         dps = int(z["dense_piv_start"])
+        lp_order = (z["lp_order"].astype(np.int64)
+                    if "lp_order" in z.files else None)
         return LU(field=f, n=n, m=m, r=r, complete=bool(int(z["complete"])),
                   U=U, qinv=z["qinv"].astype(np.int64),
                   p=z["p_vec"].astype(np.int64),
                   piv_cols=z["piv_cols"].astype(np.int64), L=L,
                   _levels=z["levels"].astype(np.int64),
-                  dense_piv_start=None if dps < 0 else dps)
+                  dense_piv_start=None if dps < 0 else dps,
+                  lp_order=lp_order)

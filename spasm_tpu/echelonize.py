@@ -163,6 +163,11 @@ class LU:
     # their L[p] block is a general invertible matrix, not triangular —
     # solves treat it densely (solve.py).  None = no dense block.
     dense_piv_start: "int | None" = None
+    # (r,) slot permutation under which L[p] is lower-triangular: rounds
+    # whose L was recorded against the REDUCED pivot block have an
+    # upper-triangular diagonal block (slot order reversed there).  None =
+    # identity (wave-recorded / GPLU / no L).
+    lp_order: "np.ndarray | None" = None
 
     @property
     def rank(self) -> int:
@@ -216,6 +221,10 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     piv_cols_all: list[np.ndarray] = []
     piv_origin_all: list[np.ndarray] = []
     L_parts: list[tuple] = []           # (rows_orig, piv_idx, value)
+    # rounds whose L was recorded against the REDUCED pivot block: their
+    # (start, npiv) slot ranges have an upper-triangular L block that the
+    # solves handle by reversing the slot order (LU.lp_order)
+    L_rev_segments: list[tuple[int, int]] = []
     r = 0
 
     round_idx = 0
@@ -234,6 +243,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             piv_cols_all.append(state["piv_cols"])
             piv_origin_all.append(state["piv_origin"])
         L_parts.extend(state["L_parts"])
+        L_rev_segments.extend(state.get("L_rev_segments", []))
         log(f"[echelonize] resumed at round {round_idx}, rank {r}")
 
     if checkpoint and not resume:
@@ -361,6 +371,8 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             break
         S_new = C = None
         ok = False  # reduced-block flag (host path sets it)
+        reduced_L = False
+        piv_L = None
         use_device_sparse = (
             not opts.L
             and ((mesh is not None)
@@ -374,19 +386,36 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         if S_new is None:  # host path (also the overflow fallback)
             # mutual-reduce the round's pivot block once (backward sweep
             # over npiv rows), then the Schur update of the q >> npiv
-            # remaining rows is a single product (elimination.py).  Not
-            # when an L factor is requested: against a reduced block the
-            # original pivot rows' coefficients hit LATER pivots, which
-            # breaks the permuted-triangular L the solves substitute
-            # through (solve.py `_solve_triangular_Lp`).
-            if not opts.L:
-                Ustar, ok = mutual_reduce(f, Upart, pcols, levels_blk)
+            # remaining rows is a single product (elimination.py).  With
+            # an L factor requested, every row's coefficients against the
+            # REDUCED block are simply its values at the pivot columns
+            # (unique expression in a mutual-RREF basis), so L is recorded
+            # directly; the round's own L block becomes UPPER-triangular
+            # in slot order (append invariant: a pivot row only touches
+            # its own and LATER pivot columns), which the solves handle by
+            # reversing the slot order within the block (LU.lp_order,
+            # solve.py `_solve_zLp`).
+            Ustar, ok = mutual_reduce(f, Upart, pcols, levels_blk)
             if ok:
+                if opts.L:
+                    # pivot rows' coefficients vs the reduced block,
+                    # sliced off the ORIGINAL rows (scaled block times
+                    # piv_vals) before Upart is replaced
+                    cmap = np.full(S.shape[1], -1, np.int64)
+                    cmap[pcols] = np.arange(npiv)
+                    Uc = sp.coo_matrix(Upart)
+                    pm = cmap[Uc.col] >= 0
+                    piv_L = (row_origin[prows][Uc.row[pm]],
+                             r + cmap[Uc.col[pm]],
+                             f.normalize(Uc.data[pm].astype(np.int64)
+                                         * piv_vals[Uc.row[pm]]))
+                    reduced_L = True
                 S_new, C = eliminate_against_reduced(
-                    f, Ustar, pcols, S_rest, assume_canonical=True)
+                    f, Ustar, pcols, S_rest, record_coeffs=opts.L,
+                    assume_canonical=True)
                 Upart = Ustar  # store the reduced block as U (valid
                 # echelon form)
-            else:  # L requested or fill blow-up guard: wave cascade
+            else:  # fill blow-up guard: wave cascade
                 S_new, C = wave_eliminate(f, Upart, pcols, levels_blk,
                                           S_rest, record_coeffs=opts.L,
                                           assume_canonical=True)
@@ -396,9 +425,13 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             f"{wtime() - t0:.1f}s")
 
         if opts.L:
-            # pivot rows: a_orig = pivot_val * u_k (self coefficient)
-            L_parts.append((row_origin[prows], r + np.arange(npiv),
-                            piv_vals))
+            if reduced_L:
+                L_parts.append(piv_L)
+                L_rev_segments.append((r, npiv))
+            else:
+                # pivot rows: a_orig = pivot_val * u_k (self coefficient)
+                L_parts.append((row_origin[prows], r + np.arange(npiv),
+                                piv_vals))
             Cc = C.tocoo()
             L_parts.append((row_origin[rest_rows][Cc.row], r + Cc.col,
                             Cc.data))
@@ -413,7 +446,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         if checkpoint:
             _save_checkpoint(checkpoint, f, opts, round_idx, r, S,
                              row_origin, m, U_blocks, piv_cols_all,
-                             piv_origin_all, L_parts)
+                             piv_origin_all, L_parts, L_rev_segments)
 
     # ---------------- finish ----------------
     if S.shape[0] and S.nnz:
@@ -480,6 +513,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     qinv[piv_cols] = np.arange(r)
 
     L = None
+    lp_order = None
     if opts.L:
         # rows of A that eliminated to zero contribute their recorded
         # coefficient rows; all parts were accumulated in L_parts
@@ -490,10 +524,16 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         else:
             li = lj = lv = np.zeros(0, np.int64)
         L = SparseGFp.from_coo(f, n, r, li, lj, lv, sum_duplicates=False)
+        if L_rev_segments:
+            # reversing the slot order inside reduced-recorded rounds makes
+            # L[p] lower-triangular again (see round loop / solve._solve_zLp)
+            lp_order = np.arange(r, dtype=np.int64)
+            for s0, ln in L_rev_segments:
+                lp_order[s0:s0 + ln] = lp_order[s0:s0 + ln][::-1]
 
     fact = LU(field=f, n=n, m=m, r=r, complete=False, U=U, qinv=qinv,
               p=p_vec, piv_cols=piv_cols, L=L,
-              dense_piv_start=dense_piv_start)
+              dense_piv_start=dense_piv_start, lp_order=lp_order)
     if opts.complete:
         from .solve import rref_of_U, rref_qinv_of  # cycle-free import
 
@@ -516,14 +556,16 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         fact = dataclasses.replace(
             fact, U=R, complete=True, qinv=qinv_c, piv_cols=piv_cols_c,
             p=p_vec[order], _levels=np.zeros(r, np.int64), L=L_c,
-            dense_piv_start=0 if opts.L else None)  # L_c is not triangular
+            dense_piv_start=0 if opts.L else None,  # L_c is not triangular
+            lp_order=None)
     log(f"[echelonize] Done in {wtime() - t_start:.1f}s. Rank {r}, "
         f"{U.nnz} nz in basis")
     return fact
 
 
 def _save_checkpoint(path, f, opts, round_idx, r, S, row_origin, m,
-                     U_blocks, piv_cols_all, piv_origin_all, L_parts):
+                     U_blocks, piv_cols_all, piv_origin_all, L_parts,
+                     L_rev_segments=()):
     from . import checkpoint as ckpt
 
     U_cat = sp.vstack(U_blocks, format="csr") if U_blocks else \
@@ -537,7 +579,8 @@ def _save_checkpoint(path, f, opts, round_idx, r, S, row_origin, m,
                     if piv_origin_all else np.zeros(0, np.int64)),
         opts_dict={k: v for k, v in dataclasses.asdict(opts).items()
                    if isinstance(v, (int, float, bool))},
-        L_parts=L_parts if opts.L else None)
+        L_parts=L_parts if opts.L else None,
+        L_rev_segments=L_rev_segments if opts.L else ())
     log(f"[echelonize] checkpoint saved at round {round_idx}")
 
 

@@ -166,33 +166,57 @@ def _solve_vs_U(fact: LU, B_sp):
     return Y, res
 
 
-def _solve_triangular_Lp(f: Field, Lp, Y):
-    """Solve Z @ Lp == Y for Lp (r x r) lower-triangular in pivot order
-    with nonzero diagonal.
-
-    Z @ Lp = Y expresses Y's rows as combinations of Lp's rows, so we
-    wave-eliminate Y against Lp itself.  Row k of Lp has entries only at
-    columns <= k, so the REVERSED pivot list (r-1, ..., 0) satisfies the
-    append invariant (no entries at previously selected pivot columns)."""
+def _prep_triangular_Lp(f: Field, Lp, order=None):
+    """One-time preparation for solving Z @ Lp == Y: conjugate by the slot
+    permutation ``order`` (LU.lp_order — rounds recorded against the
+    reduced pivot block have upper-triangular diagonal L blocks, made
+    lower-triangular by reversing their slot order), scale to unit
+    diagonal, reverse (row k of a lower-triangular Lp has entries only at
+    columns <= k, so the REVERSED pivot list satisfies the append
+    invariant), and compute the wave levels.  The result is reusable
+    across solves (cached on the LU by _solve_zLp)."""
     r = Lp.shape[0]
+    if order is not None:
+        order = np.asarray(order, np.int64)
+        Lp = sp.csr_matrix(Lp)[order][:, order]
     M = sp.csr_matrix(Lp)
     diag = np.asarray(M[np.arange(r), np.arange(r)]).ravel().astype(np.int64)
     scales = f.inv(diag)
     row_of = np.repeat(np.arange(r), np.diff(M.indptr))
     M.data = f.normalize(M.data * scales[row_of])  # unit diagonal
-    order = np.arange(r - 1, -1, -1, dtype=np.int64)
-    Mo = sp.csr_matrix(M)[order]
+    rev = np.arange(r - 1, -1, -1, dtype=np.int64)
+    Mo = sp.csr_matrix(M)[rev]
     Mw = SparseGFp.from_scipy(Mo, f.p)
-    levels = compute_levels(Mw, order)
-    res, C = wave_eliminate(f, Mo, order, levels, Y, record_coeffs=True)
+    levels = compute_levels(Mw, rev)
+    return dict(Mo=Mo, rev=rev, levels=levels,
+                scales_u=f.to_unsigned(scales), order=order, r=r)
+
+
+def _apply_triangular_Lp(f: Field, prep, Y):
+    """Solve Z @ Lp == Y using a _prep_triangular_Lp state.
+
+    Z @ Lp = Y expresses Y's rows as combinations of Lp's rows, so we
+    wave-eliminate Y against Lp itself and read the coefficients."""
+    order = prep["order"]
+    if order is not None:
+        Y = sp.csr_matrix(Y)[:, order]
+    res, C = wave_eliminate(f, prep["Mo"], prep["rev"], prep["levels"], Y,
+                            record_coeffs=True)
     assert res.nnz == 0, "triangular Lp solve must be exact"
     # map reversed coefficient slots back and undo the row scaling:
     # y = sum c_k' (Lp[k]/v_k)  =>  z_k = c_k' * inv(v_k)
     Cc = sp.csr_matrix(C).tocoo()
-    orig = order[Cc.col]
-    data = f.normalize(Cc.data.astype(np.int64)
-                       * f.to_unsigned(scales)[orig])
-    return sp.csr_matrix((data, (Cc.row, orig)), shape=(Y.shape[0], r))
+    orig = prep["rev"][Cc.col]
+    data = f.normalize(Cc.data.astype(np.int64) * prep["scales_u"][orig])
+    if order is not None:
+        orig = order[orig]
+    return sp.csr_matrix((data, (Cc.row, orig)),
+                         shape=(Y.shape[0], prep["r"]))
+
+
+def _solve_triangular_Lp(f: Field, Lp, Y, order=None):
+    """One-shot prepare + apply (see _prep_triangular_Lp)."""
+    return _apply_triangular_Lp(f, _prep_triangular_Lp(f, Lp, order), Y)
 
 
 def _dense_block_inverse(fact: LU):
@@ -227,22 +251,37 @@ def _solve_zLp(fact: LU, Y):
     if r == 0:
         return sp.csr_matrix((Y.shape[0], 0), dtype=np.int64)
     Y = sp.csr_matrix(Y)
-    Lp_rows = fact.L.select_rows(fact.p)  # (r, r)
     ds = fact.dense_piv_start if fact.dense_piv_start is not None else r
+    order = fact.lp_order  # None = identity; covers the sparse prefix
+    # the triangular-solve preparation (row gather, conjugation, reversal,
+    # wave levels) costs as much as a solve at millions of pivots — cache
+    # it on the LU (certificate creation alone calls this twice)
+    cache = getattr(fact, "_lp_solve_cache", None)
+    if cache is None:
+        Lp = fact.L.select_rows(fact.p).to_scipy()  # (r, r)
+        if ds >= r:
+            prep = _prep_triangular_Lp(f, Lp, order)
+            C_blk = None
+        else:
+            prep = _prep_triangular_Lp(
+                f, Lp[:ds, :ds],
+                None if order is None else order[:ds]) if ds else None
+            C_blk = Lp[ds:, :ds]
+        cache = dict(ds=ds, prep=prep, C_blk=C_blk)
+        fact._lp_solve_cache = cache
+    ds, prep, C_blk = cache["ds"], cache["prep"], cache["C_blk"]
     if ds >= r:
-        return _solve_triangular_Lp(f, Lp_rows.to_scipy(), Y)
-    Lp = Lp_rows.to_scipy()
+        return _apply_triangular_Lp(f, prep, Y)
     Y_s, Y_d = Y[:, :ds], Y[:, ds:]
     # z_d @ D = y_d  ->  z_d = y_d @ D^-1
     dinv = _dense_block_inverse(fact)
     Z_d = mod_reduce(sp.csr_matrix(
         _spgemm_dense_rhs(f, Y_d, dinv)), f)
     if ds:
-        C_blk = Lp[ds:, :ds]
         from .sputil import safe_spgemm
 
         rhs = mod_reduce(Y_s - safe_spgemm(f, Z_d, C_blk), f)
-        Z_s = _solve_triangular_Lp(f, Lp[:ds, :ds], rhs)
+        Z_s = _apply_triangular_Lp(f, prep, rhs)
     else:
         Z_s = sp.csr_matrix((Y.shape[0], 0), dtype=np.int64)
     return sp.csr_matrix(sp.hstack([Z_s, Z_d], format="csr"))

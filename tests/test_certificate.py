@@ -128,3 +128,23 @@ def test_prng_golden_vectors():
     with open(prng_golden.GOLDEN) as fh:
         committed = json.load(fh)
     assert committed == prng_golden.build()
+
+
+def test_zzp_vector_matches_scalar_stream():
+    # the vectorized draw must be bit-identical to scalar zzp() calls,
+    # including buffer continuity across interleaved scalar/vector draws
+    import hashlib
+
+    from spasm_tpu.certificate import SpasmPRNG
+
+    seed = hashlib.sha256(b"stream-test").digest()
+    for p in (42013, 3, 65537, 2**31 - 1, 4294967291):
+        a = SpasmPRNG(seed, p, seq=7)
+        b = SpasmPRNG(seed, p, seq=7)
+        ref = [a.zzp() for _ in range(500)]
+        got = []
+        got.extend(b.zzp_vector(3).tolist())
+        got.append(b.zzp())
+        got.extend(b.zzp_vector(490).tolist())
+        got.extend(b.zzp() for _ in range(6))
+        assert got == ref, p

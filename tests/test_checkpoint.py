@@ -43,11 +43,23 @@ def test_checkpoint_wrong_prime(rng, tmp_path):
 
 
 def test_checkpoint_with_L(rng, tmp_path):
+    from spasm_tpu.solve import solve
+
     A = SparseGFp.rand(F, 400, 400, 0.01, rng)
     path = str(tmp_path / "l.npz")
     echelonize(A, checkpoint=path, L=True, max_round=2)
     fact = echelonize(A, resume=path, L=True, max_round=2)
     assert fact.L @ fact.U == A
+    # reduced-round slot segments (lp_order) must survive the resume
+    ref = echelonize(A, L=True, max_round=2)
+    if ref.lp_order is not None:
+        np.testing.assert_array_equal(fact.lp_order, ref.lp_order)
+    x0 = F.rand(A.n, rng)
+    b = F.normalize(x0 @ A.to_dense().astype(np.int64))
+    x = solve(fact, b)
+    assert x is not None
+    np.testing.assert_array_equal(
+        F.normalize(x @ A.to_dense().astype(np.int64)), b)
 
 
 def test_phase_profiling():
@@ -87,6 +99,10 @@ def test_save_load_lu(tmp_path, rng):
     fact2 = st.load_lu(path)
     assert fact2.r == fact.r and fact2.U == fact.U and fact2.L == fact.L
     np.testing.assert_array_equal(fact2.qinv, fact.qinv)
+    if fact.lp_order is None:
+        assert fact2.lp_order is None
+    else:
+        np.testing.assert_array_equal(fact2.lp_order, fact.lp_order)
     assert fact2.L @ fact2.U == A
     X0 = st.SparseGFp.rand(f, 3, 120, 0.1, rng)
     B = X0 @ A

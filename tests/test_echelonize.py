@@ -464,3 +464,42 @@ def test_device_sparsity_threshold_gate(monkeypatch, rng):
         lg.set_log(None)
     assert switched and not_switched
     assert fact1.r == fact2.r  # the result is gate-invariant
+
+
+def test_L_factor_reduced_rounds(rng):
+    # the fast-L path: round L blocks recorded against the REDUCED pivot
+    # block (upper-triangular diagonal blocks, LU.lp_order reverses them)
+    from spasm_tpu.fixtures import simplex_boundary
+    from spasm_tpu.solve import gesv, solve
+
+    cases = [simplex_boundary(10, 4),                      # rounds only
+             SparseGFp.rand(F, 300, 320, 0.012, rng)]      # + dense corner
+    for A in cases:
+        fact = echelonize(A, L=True)
+        assert fact.lp_order is not None      # the path actually engaged
+        assert fact.L @ fact.U == A           # exactness
+        # L[p] restricted to the sparse prefix is lower-triangular with a
+        # nonzero diagonal UNDER lp_order (identity order is NOT
+        # triangular here — that's the point of the permutation)
+        Lp = fact.L.select_rows(fact.p).to_dense()
+        ds = (fact.dense_piv_start if fact.dense_piv_start is not None
+              else fact.r)
+        o = fact.lp_order[:ds]
+        P = Lp[:ds, :ds][np.ix_(o, o)]
+        assert (np.diag(P) != 0).all()
+        assert not np.triu(P, 1).any()
+        assert not Lp[:ds, ds:].any()
+        # solve through the reversed blocks
+        x0 = F.rand(A.n, rng)
+        b = F.normalize(x0 @ A.to_dense().astype(np.int64))
+        x = solve(fact, b)
+        assert x is not None
+        np.testing.assert_array_equal(
+            F.normalize(x @ A.to_dense().astype(np.int64)), b)
+        # sparse multi-RHS: rows of A are trivially consistent
+        B = A.select_rows(np.arange(0, A.n, 7))
+        X, ok = gesv(fact, B)
+        assert ok.all()
+        got = F.normalize(X.to_dense().astype(np.int64)
+                          @ A.to_dense().astype(np.int64))
+        np.testing.assert_array_equal(got, B.to_dense())

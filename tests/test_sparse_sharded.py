@@ -178,3 +178,25 @@ def test_fl_col_election_shard_count_invariant(rng):
         np.testing.assert_array_equal(gr_d, gr_h)
         np.testing.assert_array_equal(gc_d, gc_h)
         np.testing.assert_array_equal(cs_d, cs_h)
+
+
+@pytest.mark.parametrize("nd", [3, 5, 6])
+def test_elections_non_power_of_two_meshes(rng, nd):
+    # shard_rows + both device elections on meshes that don't divide the
+    # row count evenly
+    from spasm_tpu.parallel.sparse_sharded import sharded_fl_col_election
+    from spasm_tpu.pivots import fl_col_pivots
+
+    A = SparseGFp.rand(F, 101, 87, 0.06, rng)
+    hr, hc = fl_row_pivots(A)
+    mesh = make_mesh(nd)
+    dr, dc = sharded_fl_election(F, mesh, A)
+    np.testing.assert_array_equal(dr, hr)
+    np.testing.assert_array_equal(dc, hc)
+    cs_h = np.zeros(87, bool); ru_h = np.zeros(101, bool)
+    cs_h[hc] = True; ru_h[hr] = True
+    cs_d, ru_d = cs_h.copy(), ru_h.copy()
+    gr_h, gc_h = fl_col_pivots(A, cs_h, ru_h)
+    gr_d, gc_d = sharded_fl_col_election(F, mesh, A, cs_d, ru_d)
+    np.testing.assert_array_equal(gr_d, gr_h)
+    np.testing.assert_array_equal(gc_d, gc_h)
