@@ -26,6 +26,33 @@ def test_from_coo_sums_duplicates():
     assert a[1, 0] == 0
 
 
+def test_from_coo_duplicates_vs_bigint_oracle(rng):
+    # heavy-duplicate randomized construction vs an exact big-int oracle
+    n, m, k = 40, 30, 4000  # ~3.3 duplicates per cell on average
+    i = rng.integers(0, n, k)
+    j = rng.integers(0, m, k)
+    v = rng.integers(-(10**9), 10**9, k)
+    a = SparseGFp.from_coo(F, n, m, i, j, v)
+    dense = np.zeros((n, m), dtype=object)
+    for r, c, x in zip(i, j, v):
+        dense[r, c] += int(x)
+    want = F.normalize((dense % 42013).astype(np.int64))
+    np.testing.assert_array_equal(a.to_dense(), want)
+    # canonical invariants: sorted indices, no stored zeros, balanced range
+    assert a.indptr[-1] == np.count_nonzero(want)
+    for r in range(n):
+        assert np.all(np.diff(a.indices[a.indptr[r]:a.indptr[r + 1]]) > 0)
+    assert np.all(a.data != 0)
+    assert a.data.max() <= 42013 // 2 and a.data.min() >= -(42013 // 2)
+
+
+def test_from_coo_empty_and_cancelling():
+    e = SparseGFp.from_coo(F, 4, 5, [], [], [])
+    assert e.nnz == 0 and e.shape == (4, 5)
+    z = SparseGFp.from_coo(F, 5, 5, [1, 1], [2, 2], [3, 42010])
+    assert z.nnz == 0  # duplicates sum to 0 mod p and are dropped
+
+
 def test_canonical_balanced():
     a = SparseGFp.from_coo(F, 1, 3, [0, 0], [2, 0], [42012, 21007])
     # 42012 = -1 balanced, 21007 = -21006 balanced
