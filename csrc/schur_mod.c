@@ -388,3 +388,174 @@ int64_t spasm_tpu_schur_update_ranged(
     *out_x_ret = all_x;
     return total;
 }
+
+/* qinv-driven variant against a SEPARATE (mutually reduced) pivot block:
+ * D = B - B[:, piv_cols] @ U where the coefficient of B row i against U
+ * row k is read DIRECTLY off B[i, pivcol(k)] via qinv (qinv[j] = U row
+ * index owning column j, or -1) — the caller never materializes the
+ * (q x r) coefficient submatrix (a full O(nnz) column gather at tens of
+ * M nnz).  U has unit pivots, so pivot-column entries of D vanish
+ * exactly, matching the materialized product (elimination.py
+ * eliminate_against_reduced). */
+int64_t spasm_tpu_schur_update_qinv(
+    int64_t q, int64_t m, int64_t P, int64_t reduce_each,
+    const int64_t *Bp, const int32_t *Bj, const int64_t *Bx,
+    const int64_t *qinv,
+    const int64_t *Up, const int32_t *Uj, const int64_t *Ux,
+    int64_t *outp, int32_t **out_j_ret, int64_t **out_x_ret)
+{
+    const int64_t halfp = P / 2;
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+    if (nthreads > 16) nthreads = 16;
+    if ((int64_t)nthreads > q) nthreads = q > 0 ? (int)q : 1;
+    if (nthreads < 1) nthreads = 1;
+#endif
+    int64_t *work = (int64_t *)malloc(sizeof(int64_t) * (size_t)(q + 1));
+    if (!work) return -1;
+    work[0] = 0;
+    for (int64_t i = 0; i < q; i++) {
+        int64_t w = Bp[i + 1] - Bp[i];
+        for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
+            int64_t k = qinv[Bj[t]];
+            if (k >= 0)
+                w += Up[k + 1] - Up[k];
+        }
+        work[i + 1] = work[i] + w + 1;
+    }
+    int64_t total_work = work[q];
+    int64_t *range = (int64_t *)malloc(sizeof(int64_t) * (size_t)(nthreads + 1));
+    if (!range) { free(work); return -1; }
+    range[0] = 0;
+    for (int t = 1; t < nthreads; t++) {
+        int64_t target = total_work * t / nthreads;
+        int64_t lo = range[t - 1], hi = q;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (work[mid] < target) lo = mid + 1; else hi = mid;
+        }
+        range[t] = lo;
+    }
+    range[nthreads] = q;
+    free(work);
+
+    int32_t **tj = (int32_t **)calloc((size_t)nthreads, sizeof(int32_t *));
+    int64_t **tx = (int64_t **)calloc((size_t)nthreads, sizeof(int64_t *));
+    int64_t *tn = (int64_t *)calloc((size_t)nthreads, sizeof(int64_t));
+    int fail = 0;
+    if (!tj || !tx || !tn) fail = 1;
+
+#pragma omp parallel num_threads(nthreads)
+    {
+#ifdef _OPENMP
+        int tid = omp_get_thread_num();
+#else
+        int tid = 0;
+#endif
+        if (!fail) {
+            int64_t r0 = range[tid], r1 = range[tid + 1];
+            int64_t *x = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
+            int64_t *stamp = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
+            int32_t *touched = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
+            int64_t cap = 1024;
+            for (int64_t i = r0; i < r1; i++) {
+                int64_t w = Bp[i + 1] - Bp[i];
+                for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
+                    int64_t k = qinv[Bj[t]];
+                    if (k >= 0)
+                        w += Up[k + 1] - Up[k];
+                }
+                cap += w;
+            }
+            int32_t *oj = (int32_t *)malloc(sizeof(int32_t) * (size_t)cap);
+            int64_t *ox = (int64_t *)malloc(sizeof(int64_t) * (size_t)cap);
+            if (!x || !stamp || !touched || !oj || !ox) {
+#pragma omp atomic write
+                fail = 1;
+            } else {
+                memset(stamp, 0xff, sizeof(int64_t) * (size_t)m);
+                int64_t nout = 0;
+                for (int64_t i = r0; i < r1; i++) {
+                    int64_t ntouch = 0;
+                    for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
+                        int32_t j = Bj[t];
+                        if (stamp[j] != i) {
+                            stamp[j] = i; x[j] = 0;
+                            touched[ntouch++] = j;
+                        }
+                        x[j] += Bx[t];
+                    }
+                    for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
+                        int64_t k = qinv[Bj[t]];
+                        if (k < 0)
+                            continue;
+                        int64_t c = Bx[t];
+                        if (reduce_each) {
+                            for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
+                                int32_t j = Uj[u];
+                                if (stamp[j] != i) {
+                                    stamp[j] = i; x[j] = 0;
+                                    touched[ntouch++] = j;
+                                }
+                                x[j] = balanced(x[j] - c * Ux[u], P, halfp);
+                            }
+                        } else {
+                            for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
+                                int32_t j = Uj[u];
+                                if (stamp[j] != i) {
+                                    stamp[j] = i; x[j] = 0;
+                                    touched[ntouch++] = j;
+                                }
+                                x[j] -= c * Ux[u];
+                            }
+                        }
+                    }
+                    if (ntouch > 1)
+                        qsort(touched, (size_t)ntouch, sizeof(int32_t),
+                              spasm_tpu_cmp_i32);
+                    int64_t row_start = nout;
+                    for (int64_t t = 0; t < ntouch; t++) {
+                        int32_t j = touched[t];
+                        int64_t v = balanced(x[j], P, halfp);
+                        if (v) { oj[nout] = j; ox[nout] = v; nout++; }
+                    }
+                    outp[i + 1] = nout - row_start;
+                }
+                tj[tid] = oj; tx[tid] = ox; tn[tid] = nout;
+                oj = NULL; ox = NULL;
+            }
+            free(x); free(stamp); free(touched);
+            if (oj) free(oj);
+            if (ox) free(ox);
+        }
+    }
+    if (fail) {
+        for (int t = 0; t < nthreads; t++) { free(tj[t]); free(tx[t]); }
+        free(tj); free(tx); free(tn); free(range);
+        return -1;
+    }
+    outp[0] = 0;
+    for (int64_t i = 0; i < q; i++) outp[i + 1] += outp[i];
+    int64_t total = outp[q];
+    int32_t *all_j = (int32_t *)malloc(sizeof(int32_t) * (size_t)(total ? total : 1));
+    int64_t *all_x = (int64_t *)malloc(sizeof(int64_t) * (size_t)(total ? total : 1));
+    if (!all_j || !all_x) {
+        free(all_j); free(all_x);
+        for (int t = 0; t < nthreads; t++) { free(tj[t]); free(tx[t]); }
+        free(tj); free(tx); free(tn); free(range);
+        return -1;
+    }
+    for (int t = 0; t < nthreads; t++) {
+        int64_t dst = outp[range[t]];
+        if (tn[t]) {
+            memcpy(all_j + dst, tj[t], sizeof(int32_t) * (size_t)tn[t]);
+            memcpy(all_x + dst, tx[t], sizeof(int64_t) * (size_t)tn[t]);
+        }
+        free(tj[t]); free(tx[t]);
+    }
+    free(tj); free(tx); free(tn); free(range);
+    *out_j_ret = all_j;
+    *out_x_ret = all_x;
+    return total;
+}

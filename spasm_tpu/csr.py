@@ -94,8 +94,9 @@ class SparseGFp:
         f = field(p)
         mat = sp.csr_matrix(mat)
         data = (mat.data if assume_canonical else f.normalize(mat.data))
-        return cls(f, mat.shape[0], mat.shape[1], mat.indptr.astype(np.int64),
-                   mat.indices.astype(np.int32),
+        return cls(f, mat.shape[0], mat.shape[1],
+                   mat.indptr.astype(np.int64, copy=False),
+                   mat.indices.astype(np.int32, copy=False),
                    data.astype(np.int32, copy=False),
                    _canonical=assume_canonical)
 
@@ -193,11 +194,15 @@ class SparseGFp:
     # ---------------- conversions ----------------
 
     def to_scipy(self):
+        """scipy csr view with int64 data (the elimination kernels do
+        int64 arithmetic on .data).  Indices are passed as int32 — scipy
+        keeps them (it downcasts int64 index arrays right back to int32
+        whenever contents fit, so converting up first is two wasted O(nnz)
+        copies at tens of M nnz)."""
         import scipy.sparse as sp
 
         return sp.csr_matrix(
-            (self.data.astype(np.int64), self.indices.astype(np.int64),
-             self.indptr),
+            (self.data.astype(np.int64), self.indices, self.indptr),
             shape=(self.n, self.m))
 
     def to_dense(self):

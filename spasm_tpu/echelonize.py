@@ -351,13 +351,17 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         # reference's est_density gate, src/SpaSM.jl:763)
         est, S_rest, rest_rows, blk = _round_schur_estimate(
             f, S, prows, pcols)
-        Upart, piv_vals, Ublock_w, levels_blk = blk
+        Upart, piv_vals, levels_blk = blk
         del blk
         log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
             f"estimated density : {est:.2f}")
         thresh = opts.sparsity_threshold
         if (opts.device_sparsity_threshold is not None and opts.enable_dense
-                and _dense_feasible(S, opts) and _on_accelerator()):
+                and opts.device_sparsity_threshold <= est < thresh
+                and _on_accelerator() and _dense_feasible(S, opts)):
+            # evaluated lazily: _dense_feasible's O(nnz) alive-column scan
+            # only runs when the lowered gate could actually change the
+            # decision (est already known >= the device threshold)
             thresh = min(thresh, opts.device_sparsity_threshold)
         if (est >= thresh and opts.enable_dense
                 and (round_idx > 0 or _dense_feasible(S, opts))):
@@ -379,6 +383,10 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                  or (opts.device_sparse_min_nnz
                      and S_rest.nnz >= opts.device_sparse_min_nnz)))
         if use_device_sparse:
+            # the device path wants the SparseGFp view of the pivot block
+            # (built lazily — the host path never needs it)
+            Ublock_w = SparseGFp.from_scipy(Upart, f.p,
+                                            assume_canonical=True)
             S_new = _device_sparse_schur(f, mesh, Ublock_w, pcols,
                                          levels_blk, S_rest)
             if S_new is not None:
@@ -661,10 +669,19 @@ def _round_schur_estimate(f: Field, S, prows, pcols):
     spasm_schur_estimate_density gate, src/SpaSM.jl:763).  Returns
     (est, S_rest, rest_rows, (Upart, piv_vals, Ublock_w, levels_blk))."""
     npiv = prows.size
-    Upart = S[prows]  # (npiv, m) in pivot order
-    piv_vals = np.asarray(
-        Upart[np.arange(npiv), pcols]).ravel().astype(np.int64)
-    Upart = sp.csr_matrix(Upart)
+    Upart = sp.csr_matrix(S[prows])  # (npiv, m) in pivot order
+    # pivot values: FL pivots sit at their row's LEFTMOST entry (the vast
+    # majority — all of them on boundary-class rounds), readable straight
+    # off the CSR; only the general (greedy/FL-col) pivots need scipy's
+    # slow 2D fancy indexing
+    row_starts = Upart.indptr[:-1]
+    is_left = Upart.indices[row_starts] == pcols
+    piv_vals = np.empty(npiv, np.int64)
+    piv_vals[is_left] = Upart.data[row_starts[is_left]]
+    rest = np.flatnonzero(~is_left)
+    if rest.size:
+        piv_vals[rest] = np.asarray(
+            Upart[rest, pcols[rest]]).ravel().astype(np.int64)
     row_of_entry = np.repeat(np.arange(npiv), np.diff(Upart.indptr))
     if piv_vals.size and np.abs(piv_vals).max() <= 1:
         # +-1 pivots (boundary matrices, the reference's real domain):
@@ -677,14 +694,13 @@ def _round_schur_estimate(f: Field, S, prows, pcols):
         Upart.data = f.normalize(Upart.data * scales[row_of_entry])
     # New-block levels are self-contained: S rows already have zeros at
     # all earlier pivot columns, so cross-block edges cannot exist here.
-    Ublock_w = SparseGFp.from_scipy(Upart, f.p, assume_canonical=True)
-    levels_blk = compute_levels(Ublock_w, pcols)
+    levels_blk = compute_levels(Upart, pcols)
     rest_mask = np.ones(S.shape[0], bool)
     rest_mask[prows] = False
     rest_rows = np.flatnonzero(rest_mask)
     S_rest = S[rest_rows]
     est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
-    return est, S_rest, rest_rows, (Upart, piv_vals, Ublock_w, levels_blk)
+    return est, S_rest, rest_rows, (Upart, piv_vals, levels_blk)
 
 
 def _device_rounds_enabled(opts, f: Field, S) -> bool:

@@ -34,7 +34,10 @@ def pivot_graph_edges(U, piv_cols):
     r, m = U.shape
     qinv = np.full(m, -1, np.int64)
     qinv[piv_cols] = np.arange(r)
-    rows = U.rows_expanded()
+    if hasattr(U, "rows_expanded"):
+        rows = U.rows_expanded()
+    else:  # scipy csr
+        rows = np.repeat(np.arange(r, dtype=np.int64), np.diff(U.indptr))
     hit = qinv[U.indices]
     mask = (hit >= 0) & (hit != rows)
     return rows[mask], hit[mask]
@@ -45,8 +48,18 @@ def compute_levels(U, piv_cols, require_order=True):
 
     If require_order, asserts edges only go from earlier to later pivots
     (the append invariant); otherwise the caller must pass a topologically
-    sorted U (see topo_order)."""
-    r = U.shape[0]
+    sorted U (see topo_order).  U may be a SparseGFp or a scipy csr."""
+    r, m = U.shape
+    if require_order:
+        # one sequential pass straight off the CSR (csrc/pivot_scan.c):
+        # no edge materialization, order violations raise as below
+        from .native import levels_from_csr_native
+
+        qinv = np.full(m, -1, np.int64)
+        qinv[np.asarray(piv_cols, np.int64)] = np.arange(r)
+        levels = levels_from_csr_native(U.indptr, U.indices, qinv, r)
+        if levels is not None:
+            return levels
     src, dst = pivot_graph_edges(U, piv_cols)
     if require_order and src.size and not (src < dst).all():
         raise ValueError("pivot list is not in elimination order")
@@ -208,6 +221,16 @@ def eliminate_against_reduced(f: Field, Ustar, piv_cols, B_sp,
     if r == 0:
         return B, (sp.csr_matrix((q, 0), dtype=np.int64)
                    if record_coeffs else None)
+    if not record_coeffs:
+        # coefficient-free path: the qinv-driven C kernel reads each
+        # coefficient off B itself, skipping the O(nnz) column gather
+        from .native import schur_update_qinv_native
+
+        qinv = np.full(B.shape[1], -1, np.int64)
+        qinv[piv_cols] = np.arange(r)
+        D = schur_update_qinv_native(f, B, qinv, sp.csr_matrix(Ustar))
+        if D is not None:
+            return D, None
     C = sp.csr_matrix(B[:, piv_cols])
     if C.nnz:
         B = _schur_update(f, B, C, sp.csr_matrix(Ustar))

@@ -270,6 +270,164 @@ def levels_from_sorted_edges(src, dst, r):
     return levels
 
 
+def schur_update_qinv_native(f, B, qinv, U):
+    """Fused D = B - B[:, piv_cols] @ U (mod p, balanced) with the
+    coefficients read off B via qinv (csrc/schur_mod.c qinv variant) —
+    no coefficient-submatrix materialization.  qinv[j] = U row owning
+    column j, or -1.  U must be mutually reduced with unit pivots.
+    Returns a canonical scipy csr or None (callers fall back)."""
+    import scipy.sparse as sp
+
+    lib = _load("schur_mod", _configure_schur, extra_flags=("-fopenmp",))
+    if lib is None:
+        return None
+    if not hasattr(lib, "_qinv_configured"):
+        fn = lib.spasm_tpu_schur_update_qinv
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                       ctypes.c_int64,
+                       _I64P, _I32P, _I64P,
+                       _I64P,
+                       _I64P, _I32P, _I64P,
+                       _I64P,
+                       ctypes.POINTER(_I32P), ctypes.POINTER(_I64P)]
+        lib._qinv_configured = True
+    q, m = B.shape
+    pb = _csr_parts(B)
+    pu = _csr_parts(U)
+    if pb is None or pu is None:
+        return None
+    qinv = np.ascontiguousarray(qinv, dtype=np.int64)
+    halfp = f.halfp
+    safe_t = (1 << 62) // max(1, halfp * halfp)
+    max_terms = 2 + int(np.diff(pb[0]).max(initial=0))
+    reduce_each = 0 if max_terms < safe_t else 1
+    outp = np.zeros(q + 1, dtype=np.int64)
+    out_j = _I32P()
+    out_x = _I64P()
+    total = lib.spasm_tpu_schur_update_qinv(
+        q, m, f.p, reduce_each,
+        pb[0].ctypes.data_as(_I64P), pb[1].ctypes.data_as(_I32P),
+        pb[2].ctypes.data_as(_I64P),
+        qinv.ctypes.data_as(_I64P),
+        pu[0].ctypes.data_as(_I64P), pu[1].ctypes.data_as(_I32P),
+        pu[2].ctypes.data_as(_I64P),
+        outp.ctypes.data_as(_I64P),
+        ctypes.byref(out_j), ctypes.byref(out_x))
+    if total < 0:
+        return None
+    try:
+        indices = np.ctypeslib.as_array(out_j, shape=(max(total, 1),))[
+            :total].astype(np.int32, copy=True)
+        data = np.ctypeslib.as_array(out_x, shape=(max(total, 1),))[
+            :total].copy()
+    finally:
+        lib.spasm_tpu_free(out_j)
+        lib.spasm_tpu_free(out_x)
+    D = sp.csr_matrix((data, indices, outp), shape=(q, m))
+    D.has_sorted_indices = True
+    return D
+
+
+# ---------------- fused pivot-search scans (csrc/pivot_scan.c) -------------
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _configure_pivot_scan(lib):
+    fn = lib.spasm_tpu_pivot_scan
+    fn.restype = None
+    fn.argtypes = [ctypes.c_int64, ctypes.c_int64, _I64P, _I32P,
+                   _U8P, _U8P, _F64P, _I32P, _U8P, _F64P]
+    fn2 = lib.spasm_tpu_greedy_scan
+    fn2.restype = ctypes.c_int64
+    fn2.argtypes = [ctypes.c_int64, ctypes.c_int64, _I64P, _I32P,
+                    _U8P, _U8P, _F64P, _F64P, _U8P]
+
+
+def _pivot_scan_lib():
+    return _load("pivot_scan", _configure_pivot_scan,
+                 extra_flags=("-fopenmp",))
+
+
+def pivot_scan_native(indptr, indices, row_used, col_selected, pos_of_row):
+    """One fused sweep computing the FL-cols candidates (topmost unused
+    row per unselected column), the append-invariant hit flags, and the
+    greedy col_touch_max state (csrc/pivot_scan.c).  Returns
+    (min_row int32[m], hits uint8[n], col_touch_max float64[m]) or None
+    when the native library is unavailable / indices exceed int32."""
+    lib = _pivot_scan_lib()
+    n = row_used.shape[0]
+    m = col_selected.shape[0]
+    if lib is None or max(n, m) >= np.iinfo(np.int32).max:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    row_used = np.ascontiguousarray(row_used, dtype=np.uint8)
+    col_selected = np.ascontiguousarray(col_selected, dtype=np.uint8)
+    pos_of_row = np.ascontiguousarray(pos_of_row, dtype=np.float64)
+    min_row = np.full(m, n, dtype=np.int32)
+    hits = np.zeros(n, dtype=np.uint8)
+    col_touch_max = np.full(m, -np.inf, dtype=np.float64)
+    lib.spasm_tpu_pivot_scan(
+        n, m, indptr.ctypes.data_as(_I64P), indices.ctypes.data_as(_I32P),
+        row_used.ctypes.data_as(_U8P), col_selected.ctypes.data_as(_U8P),
+        pos_of_row.ctypes.data_as(_F64P),
+        min_row.ctypes.data_as(_I32P), hits.ctypes.data_as(_U8P),
+        col_touch_max.ctypes.data_as(_F64P))
+    return min_row, hits, col_touch_max
+
+
+def levels_from_csr_native(indptr, indices, qinv, r):
+    """Exact longest-path levels of an elimination-ordered pivot block,
+    one sequential pass straight off the CSR (csrc/pivot_scan.c).
+    Returns the levels array, None when the native library is
+    unavailable; raises ValueError on an order violation (an entry
+    hitting an EARLIER pivot's column) like the NumPy path."""
+    lib = _pivot_scan_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_levels_csr_configured"):
+        fn = lib.spasm_tpu_levels_from_csr
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_int64, _I64P, _I32P, _I64P, _I64P]
+        lib._levels_csr_configured = True
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    qinv = np.ascontiguousarray(qinv, dtype=np.int64)
+    levels = np.zeros(r, np.int64)
+    rc = lib.spasm_tpu_levels_from_csr(
+        r, indptr.ctypes.data_as(_I64P), indices.ctypes.data_as(_I32P),
+        qinv.ctypes.data_as(_I64P), levels.ctypes.data_as(_I64P))
+    if rc < 0:
+        raise ValueError("pivot list is not in elimination order")
+    return levels
+
+
+def greedy_scan_native(indptr, indices, row_used, col_selected,
+                       piv_pos_of_col, col_touch_max):
+    """Greedy first-pass eligibility flags per row (csrc/pivot_scan.c);
+    returns (count, elig uint8[n]) or None when unavailable."""
+    lib = _pivot_scan_lib()
+    n = row_used.shape[0]
+    m = col_selected.shape[0]
+    if lib is None or max(n, m) >= np.iinfo(np.int32).max:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    row_used = np.ascontiguousarray(row_used, dtype=np.uint8)
+    col_selected = np.ascontiguousarray(col_selected, dtype=np.uint8)
+    piv_pos_of_col = np.ascontiguousarray(piv_pos_of_col, dtype=np.float64)
+    col_touch_max = np.ascontiguousarray(col_touch_max, dtype=np.float64)
+    elig = np.zeros(n, dtype=np.uint8)
+    count = lib.spasm_tpu_greedy_scan(
+        n, m, indptr.ctypes.data_as(_I64P), indices.ctypes.data_as(_I32P),
+        row_used.ctypes.data_as(_U8P), col_selected.ctypes.data_as(_U8P),
+        piv_pos_of_col.ctypes.data_as(_F64P),
+        col_touch_max.ctypes.data_as(_F64P), elig.ctypes.data_as(_U8P))
+    return int(count), elig
+
+
 def _configure_schur_ranged(lib):
     fn = lib.spasm_tpu_schur_update_ranged
     fn.restype = ctypes.c_int64

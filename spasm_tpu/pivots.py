@@ -41,7 +41,13 @@ from __future__ import annotations
 import numpy as np
 
 from .csr import SparseGFp
-from .native import scatter_add, scatter_max, scatter_min
+from .native import (greedy_scan_native, pivot_scan_native, scatter_add,
+                     scatter_max, scatter_min)
+
+# Below this entry count the fused native scan's private-array setup costs
+# more than the NumPy passes it replaces (tests force 0 to cover both paths
+# on the same inputs).
+_NATIVE_SCAN_MIN_NNZ = 1 << 18
 
 
 def fl_row_pivots(A: SparseGFp, row_mask=None, col_mask=None):
@@ -357,6 +363,19 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None,
     row_used = np.zeros(n, bool)
     col_selected[fl_c] = True
     row_used[fl_r] = True
+    if col_election is None and A.nnz >= _NATIVE_SCAN_MIN_NNZ:
+        # fused native path: FL-cols candidates + invariant hits + greedy
+        # touch state in ONE OpenMP sweep, greedy eligibility in a second
+        # (csrc/pivot_scan.c) — replaces the per-strategy NumPy passes
+        # that dominate pivot search at tens of M nnz.  Outputs are exact
+        # reductions, bit-identical to the NumPy formulation below.
+        pos_of_row = np.full(n, -np.inf)
+        pos_of_row[fl_r] = np.arange(fl_r.size, dtype=np.float64)
+        scan = pivot_scan_native(A.indptr, A.indices, row_used,
+                                 col_selected, pos_of_row)
+        if scan is not None:
+            return _pivots_from_scan(A, fl_r, fl_c, scan, col_selected,
+                                     row_used, enable_greedy, greedy_mopup)
     # ONE unused-row compression shared by FL-cols and the greedy (each
     # strategy used to re-walk the full entry set; these single-threaded
     # NumPy passes dominate pivot search at tens of M nnz)
@@ -404,6 +423,77 @@ def find_structural_pivots(A: SparseGFp, enable_greedy=True, fl=None,
         rows, cols = rows[order], cols[order]
     else:
         g_r = np.zeros(0, np.int64)
+    return rows, cols, {"faugere-lachartre": fl_r.size,
+                        "faugere-lachartre-cols": c_r.size,
+                        "greedy": g_r.size}
+
+
+def _pivots_from_scan(A, fl_r, fl_c, scan, col_selected, row_used,
+                      enable_greedy, greedy_mopup):
+    """Pivot selection driven by the fused native scan: the FL-cols
+    acceptance and greedy eligibility run on the scan's outputs instead of
+    re-walking the entry set per strategy.  Selection rules (and therefore
+    the pivot set) are identical to the NumPy path in
+    ``find_structural_pivots``."""
+    n, m = A.shape
+    min_row, hits, col_touch_max = scan
+    # FL-cols acceptance — same rule as fl_col_pivots: topmost unused row
+    # per unselected column, one pivot per row (smallest column), append
+    # invariant (no entry in a selected column), decreasing-row order.
+    cols_c = np.flatnonzero(min_row < n).astype(np.int64)
+    if cols_c.size:
+        rows_c = min_row[cols_c].astype(np.int64)
+        min_col = np.full(n, m, np.int64)
+        scatter_min(min_col, rows_c, cols_c)
+        keep = min_col[rows_c] == cols_c
+        rows_c, cols_c = rows_c[keep], cols_c[keep]
+        order = np.argsort(rows_c, kind="stable")
+        rows_c, cols_c = rows_c[order], cols_c[order]
+        ok = hits[rows_c] == 0
+        rows_c, cols_c = rows_c[ok][::-1].copy(), cols_c[ok][::-1].copy()
+        row_used[rows_c] = True
+        col_selected[cols_c] = True
+        c_r, c_c = rows_c, cols_c
+    else:
+        c_r = c_c = np.zeros(0, np.int64)
+
+    rows = np.concatenate([fl_r, c_r])
+    cols = np.concatenate([fl_c, c_c])
+    pos = np.arange(rows.size, dtype=np.float64)
+    g_r = np.zeros(0, np.int64)
+    if enable_greedy and rows.size:
+        piv_pos_of_col = np.full(m, np.inf)
+        piv_pos_of_col[cols] = pos
+        if c_r.size:
+            # the scan's col_touch_max covers the FL rows; extend it with
+            # the FL-col pivot rows' supports (small set)
+            lens = A.indptr[c_r + 1] - A.indptr[c_r]
+            total = int(lens.sum())
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            idx = np.repeat(A.indptr[c_r], lens) + (np.arange(total) - starts)
+            scatter_max(col_touch_max, A.indices[idx].astype(np.int64),
+                        np.repeat(pos[fl_r.size:], lens))
+        res = greedy_scan_native(A.indptr, A.indices, row_used,
+                                 col_selected, piv_pos_of_col,
+                                 col_touch_max)
+        if res is None or res[0] > 0:
+            # candidates exist (or the eligibility kernel vanished):
+            # run the batched greedy on the compressed unused-row entries
+            re_all = A.rows_expanded()
+            keep_u = ~row_used[re_all]
+            g_r, g_c, g_p = greedy_pivots(
+                A, col_selected, row_used, pos, piv_pos_of_col,
+                col_touch_max, mopup=greedy_mopup,
+                entries=(re_all[keep_u],
+                         A.indices[keep_u].astype(np.int64)))
+            rows = np.concatenate([rows, g_r])
+            cols = np.concatenate([cols, g_c])
+            pos = np.concatenate([pos, g_p])
+            order = np.argsort(pos, kind="stable")
+            rows, cols = rows[order], cols[order]
+        # res == (0, elig): the eligibility test is the SAME rule the
+        # batched pass and the sequential mop-up both start from, so an
+        # empty eligible set proves both would find nothing
     return rows, cols, {"faugere-lachartre": fl_r.size,
                         "faugere-lachartre-cols": c_r.size,
                         "greedy": g_r.size}

@@ -104,3 +104,43 @@ def test_mutual_reduce_native_matches_scipy(no_native):
         assert ok
         assert (sp.csr_matrix(got) != ref).nnz == 0
     os.environ["SPASM_TPU_NO_NATIVE"] = "1"  # fixture cleanup symmetry
+
+
+def test_pivot_scan_path_matches_numpy_path(monkeypatch):
+    """The fused native scan (csrc/pivot_scan.c) must select the SAME
+    pivots (rows, cols, order, per-strategy counts) as the NumPy
+    formulation on every structure class: random sparse, boundary-like,
+    band, tall, wide, and matrices where FL-cols / greedy actually fire."""
+    from spasm_tpu import pivots as P
+    from spasm_tpu.fixtures import simplex_boundary
+
+    if N._pivot_scan_lib() is None:
+        pytest.skip("no compiler for native pivot scan")
+    rng = np.random.default_rng(7)
+    cases = []
+    for n, m, d in [(300, 200, 0.02), (200, 300, 0.05), (500, 500, 0.004),
+                    (64, 64, 0.3), (1000, 80, 0.05), (80, 1000, 0.05)]:
+        f = field(42013)
+        cases.append(SparseGFp.rand(f, n, m, d, rng))
+    cases.append(simplex_boundary(9, 4))
+    # band matrix: heavy support overlap (greedy-active structure)
+    i = np.repeat(np.arange(120), 5)
+    j = (i + np.tile(np.arange(5), 120)) % 90
+    cases.append(SparseGFp.from_coo(field(97), 120, 90, i, j,
+                                    rng.integers(1, 97, i.size)))
+    for A in cases:
+        monkeypatch.setattr(P, "_NATIVE_SCAN_MIN_NNZ", 0)
+        r1, c1, k1 = P.find_structural_pivots(A)
+        monkeypatch.setattr(P, "_NATIVE_SCAN_MIN_NNZ", 1 << 62)
+        r2, c2, k2 = P.find_structural_pivots(A)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(c1, c2)
+        assert k1 == k2
+        # also the no-greedy variant
+        monkeypatch.setattr(P, "_NATIVE_SCAN_MIN_NNZ", 0)
+        r1, c1, k1 = P.find_structural_pivots(A, enable_greedy=False)
+        monkeypatch.setattr(P, "_NATIVE_SCAN_MIN_NNZ", 1 << 62)
+        r2, c2, k2 = P.find_structural_pivots(A, enable_greedy=False)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(c1, c2)
+        assert k1 == k2

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Measure the host-vs-device crossover for the round Schur update
+(VERDICT r3 item 2): on REAL round workloads, time
+
+  host:   mutual_reduce (ranged C kernel) + eliminate_against_reduced
+          (qinv C kernel)            -- the production path
+  device: ops.sparse_device.eliminate_device (COO waves: expand ->
+          sort -> segment-reduce per level)  -- the opt-in device path
+
+on the exact (U, S_rest) pairs the echelonize driver produces at round 0
+of the d7 / d8 boundary cases and a dense-ish random case.  Results are
+checked equal (exact mod-p) and printed as a table for NOTES/PARITY.
+
+Usage: python tools/device_crossover.py [--d9]   (d9 runs minutes on the
+device path; the default cases finish in ~1-2 min)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from spasm_tpu.utils.hostmem import prefault, tune_host_malloc
+
+tune_host_malloc()
+prefault(4 << 30)
+
+import spasm_tpu as st  # noqa: E402
+from spasm_tpu import elimination as E  # noqa: E402
+from spasm_tpu.csr import SparseGFp  # noqa: E402
+from spasm_tpu.echelonize import _round_schur_estimate  # noqa: E402
+from spasm_tpu.fixtures import simplex_boundary  # noqa: E402
+from spasm_tpu.ops.sparse_device import eliminate_device  # noqa: E402
+from spasm_tpu.pivots import find_structural_pivots  # noqa: E402
+
+
+def round0_pair(A):
+    """The (Upart, pcols, levels, S_rest) pair of round 0, exactly as the
+    driver forms it."""
+    f = A.field
+    S = A.to_scipy()
+    prows, pcols, _ = find_structural_pivots(A)
+    est, S_rest, rest_rows, blk = _round_schur_estimate(f, S, prows, pcols)
+    Upart, piv_vals, levels = blk
+    return Upart, pcols, levels, S_rest
+
+
+def host_path(f, Upart, pcols, levels, S_rest):
+    Ustar, ok = E.mutual_reduce(f, Upart, pcols, levels)
+    assert ok
+    out, _ = E.eliminate_against_reduced(f, Ustar, pcols, S_rest,
+                                         assume_canonical=True)
+    return out
+
+
+def device_path(f, Upart, pcols, levels, S_rest, cap_factor=4):
+    U = SparseGFp.from_scipy(Upart, f.p, assume_canonical=True)
+    B = SparseGFp.from_scipy(S_rest, f.p, assume_canonical=True)
+    return eliminate_device(f, U, pcols, levels, B, cap_factor=cap_factor)
+
+
+def bench_case(name, A, reps=2):
+    f = A.field
+    t0 = time.time()
+    Upart, pcols, levels, S_rest = round0_pair(A)
+    print(f"[{name}] U {Upart.shape} nnz={Upart.nnz}, "
+          f"S_rest {S_rest.shape} nnz={S_rest.nnz}, "
+          f"depth={int(levels.max()) + 1}  (setup {time.time()-t0:.1f}s)",
+          flush=True)
+    host_w, dev_w = [], []
+    D_h = D_d = None
+    for _ in range(reps):
+        t0 = time.time()
+        D_h = host_path(f, Upart, pcols, levels, S_rest)
+        host_w.append(time.time() - t0)
+    for r in range(reps):
+        t0 = time.time()
+        D_d = device_path(f, Upart, pcols, levels, S_rest)
+        dev_w.append(time.time() - t0)
+        if D_d is None:
+            print(f"[{name}] device: capacity overflow at cap_factor=4")
+            break
+    ok = None
+    if D_d is not None:
+        Dh = SparseGFp.from_scipy(D_h, f.p, assume_canonical=True)
+        ok = (Dh.nnz == D_d.nnz
+              and np.array_equal(Dh.indptr, D_d.indptr)
+              and np.array_equal(Dh.indices, D_d.indices)
+              and np.array_equal(Dh.data, D_d.data))
+    print(f"[{name}] host {min(host_w):.2f}s {host_w} | device "
+          f"{(min(dev_w) if dev_w else float('nan')):.2f}s {dev_w} | "
+          f"equal={ok}", flush=True)
+    return {"case": name, "U_nnz": int(Upart.nnz),
+            "S_nnz": int(S_rest.nnz), "depth": int(levels.max()) + 1,
+            "host_s": round(min(host_w), 3),
+            "device_s": (round(min(dev_w), 3) if dev_w else None),
+            "equal": ok}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    np.asarray(jax.block_until_ready(jnp.arange(8) + 1))  # link warm
+    print("backend:", jax.default_backend(), jax.devices()[0])
+    rows = []
+    rows.append(bench_case("d7 boundary (2.56M nnz)",
+                           simplex_boundary(22, 7)))
+    f = st.field(42013)
+    rng = np.random.default_rng(42)
+    rows.append(bench_case("random 30k^2 d=2e-4 (dense-ish rounds)",
+                           SparseGFp.rand(f, 30000, 30000, 2e-4, rng)))
+    if "--d9" in sys.argv:
+        rows.append(bench_case("d9 boundary (53.1M nnz)",
+                               simplex_boundary(26, 9), reps=1))
+    elif "--d8" in sys.argv:
+        rows.append(bench_case("d8 boundary (28.1M nnz)",
+                               simplex_boundary(26, 8), reps=1))
+    print("\n| case | U nnz | S nnz | depth | host s | device s | equal |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['case']} | {r['U_nnz']} | {r['S_nnz']} | "
+              f"{r['depth']} | {r['host_s']} | {r['device_s']} | "
+              f"{r['equal']} |")
+
+
+if __name__ == "__main__":
+    main()
