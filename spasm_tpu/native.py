@@ -329,6 +329,87 @@ def schur_update_qinv_native(f, B, qinv, U):
     return D
 
 
+# ---------------- per-row left-looking GPLU (csrc/gplu_mod.c) --------------
+
+
+def _configure_gplu(lib):
+    fn = lib.spasm_tpu_gplu
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                   ctypes.c_int64,
+                   _I64P, _I32P, _I64P,
+                   ctypes.POINTER(_I64P), ctypes.POINTER(_I32P),
+                   ctypes.POINTER(_I64P),
+                   ctypes.POINTER(_I64P), ctypes.POINTER(_I64P),
+                   ctypes.POINTER(_I64P), ctypes.POINTER(_I64P),
+                   ctypes.POINTER(_I64P), _I64P]
+    lib.spasm_tpu_gplu_free.restype = None
+    lib.spasm_tpu_gplu_free.argtypes = [ctypes.c_void_p]
+
+
+def gplu_native(f, S, record_l: bool):
+    """Per-row left-looking sparse LU (csrc/gplu_mod.c) — bit-identical to
+    echelonize._gplu_sequential's Python loop.  S: scipy csr with balanced
+    int64 data.  Returns (indptr, indices, data, pcol, prow, Ltriples) with
+    Ltriples = (li, lk, lv) or None; or None when the native library is
+    unavailable / indices exceed int32."""
+    lib = _load("gplu_mod", _configure_gplu)
+    if lib is None:
+        return None
+    parts = _csr_parts(S)
+    if parts is None:
+        return None
+    Sp, Sj, Sx = parts
+    n, m = S.shape
+    up = _I64P()
+    uj = _I32P()
+    ux = _I64P()
+    pcol = _I64P()
+    prow = _I64P()
+    li = _I64P()
+    lk = _I64P()
+    lv = _I64P()
+    lnnz = np.zeros(1, np.int64)
+    r = lib.spasm_tpu_gplu(
+        n, m, f.p, int(record_l),
+        Sp.ctypes.data_as(_I64P), Sj.ctypes.data_as(_I32P),
+        Sx.ctypes.data_as(_I64P),
+        ctypes.byref(up), ctypes.byref(uj), ctypes.byref(ux),
+        ctypes.byref(pcol), ctypes.byref(prow),
+        ctypes.byref(li), ctypes.byref(lk), ctypes.byref(lv),
+        lnnz.ctypes.data_as(_I64P))
+    if r < 0:
+        return None
+    try:
+        indptr = np.ctypeslib.as_array(up, shape=(r + 1,)).copy()
+        unnz = int(indptr[-1]) if r else 0
+        indices = np.ctypeslib.as_array(uj, shape=(max(unnz, 1),))[
+            :unnz].copy()
+        data = np.ctypeslib.as_array(ux, shape=(max(unnz, 1),))[
+            :unnz].copy()
+        pcol_a = (np.ctypeslib.as_array(pcol, shape=(max(r, 1),))[:r].copy()
+                  if r else np.zeros(0, np.int64))
+        prow_a = (np.ctypeslib.as_array(prow, shape=(max(r, 1),))[:r].copy()
+                  if r else np.zeros(0, np.int64))
+        ln = int(lnnz[0])
+        ltrip = None
+        if record_l and li and lk and lv:
+            ltrip = (np.ctypeslib.as_array(li, shape=(max(ln, 1),))[
+                         :ln].copy(),
+                     np.ctypeslib.as_array(lk, shape=(max(ln, 1),))[
+                         :ln].copy(),
+                     np.ctypeslib.as_array(lv, shape=(max(ln, 1),))[
+                         :ln].copy())
+        elif record_l:
+            ltrip = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                     np.zeros(0, np.int64))
+    finally:
+        for ptr in (up, uj, ux, pcol, prow, li, lk, lv):
+            if ptr:
+                lib.spasm_tpu_gplu_free(ptr)
+    return indptr, indices, data, pcol_a, prow_a, ltrip
+
+
 # ---------------- fused pivot-search scans (csrc/pivot_scan.c) -------------
 
 _U8P = ctypes.POINTER(ctypes.c_uint8)

@@ -144,3 +144,89 @@ def test_pivot_scan_path_matches_numpy_path(monkeypatch):
         np.testing.assert_array_equal(r1, r2)
         np.testing.assert_array_equal(c1, c2)
         assert k1 == k2
+
+
+def _gplu_both_paths(monkeypatch, f, S, record_l):
+    """Run _gplu_sequential with and without the native kernel."""
+    import importlib
+
+    ech = importlib.import_module("spasm_tpu.echelonize")
+    row_origin = np.arange(S.shape[0], dtype=np.int64)
+    opts = ech.EchelonizeOptions(L=record_l)
+    L1, L2 = [], []
+    out_native = ech._gplu_sequential(f, S.copy(), row_origin, 7, opts, L1)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(N, "gplu_native", lambda *a, **k: None)
+        out_py = ech._gplu_sequential(f, S.copy(), row_origin, 7, opts, L2)
+    return out_native, L1, out_py, L2
+
+
+def test_gplu_native_matches_python(monkeypatch):
+    """csrc/gplu_mod.c must reproduce the Python per-row left-looking
+    elimination bit-for-bit: U values, pivot columns/rows, L triples."""
+    import scipy.sparse as sp
+
+    if N._load("gplu_mod", N._configure_gplu) is None:
+        pytest.skip("no compiler for native gplu")
+    rng = np.random.default_rng(11)
+    cases = []
+    for p in (42013, 3, 2147483629):
+        f = field(p)
+        D = (rng.integers(0, p, (60, 45)).astype(np.int64)
+             * (rng.random((60, 45)) < 0.4))
+        cases.append((f, sp.csr_matrix(f.normalize(D))))
+        E_ = (rng.integers(0, p, (40, 60)).astype(np.int64)
+              * (rng.random((40, 60)) < 0.9))  # dense-ish
+        cases.append((f, sp.csr_matrix(f.normalize(E_))))
+    f = field(42013)
+    cases.append((f, sp.csr_matrix((30, 20), dtype=np.int64)))  # zero tail
+    for record_l in (False, True):
+        for f, S in cases:
+            outn, L1, outp, L2 = _gplu_both_paths(None, f, S, record_l)
+            assert (outn is None) == (outp is None)
+            if outn is None:
+                continue
+            Un, pcn, prn = outn
+            Up, pcp, prp = outp
+            np.testing.assert_array_equal(pcn, pcp)
+            np.testing.assert_array_equal(prn, prp)
+            assert (sp.csr_matrix(Un) != sp.csr_matrix(Up)).nnz == 0
+            np.testing.assert_array_equal(Un.data, Up.data)
+            if record_l:
+                def asm(parts, n, r):
+                    li = np.concatenate([np.asarray(t[0]) for t in parts])
+                    lk = np.concatenate([np.asarray(t[1]) for t in parts])
+                    lv = np.concatenate([np.asarray(t[2]) for t in parts])
+                    return sp.csr_matrix((lv, (li, lk)),
+                                         shape=(n, r + 16)).toarray()
+                r = pcn.size
+                np.testing.assert_array_equal(
+                    asm(L1, S.shape[0], r + 7), asm(L2, S.shape[0], r + 7))
+
+
+def test_gplu_sequential_scales_dense_cored():
+    """VERDICT r3 item 3: a >=10k-row dense-cored residue (every row pair
+    interacts through a shared 256-dim core, so every batched strategy
+    degrades to ~1 pivot/round) must finish in seconds through the C
+    per-row GPLU, with the exact rank."""
+    import time
+
+    from spasm_tpu import echelonize
+
+    if N._load("gplu_mod", N._configure_gplu) is None:
+        pytest.skip("no compiler for native gplu")
+    f = field(42013)
+    rng = np.random.default_rng(5)
+    G = rng.integers(0, f.p, (256, 300)).astype(np.int64)   # dense core
+    R = rng.integers(1, f.p, (10_000, 256)).astype(np.int64)
+    A = SparseGFp.from_dense(f.normalize(R @ G), f.p)
+    t0 = time.time()
+    fact = echelonize(A, enable_dense=False, device_rounds=False)
+    wall = time.time() - t0
+    assert fact.r == 256  # rank(R @ G) = 256 (random full-rank factors)
+    # exactness: every row of A eliminates to zero against U
+    from spasm_tpu.elimination import eliminate_csr
+
+    res = eliminate_csr(f, fact.U, fact.piv_cols, A)
+    assert res.nnz == 0
+    assert wall < 60, f"dense-cored GPLU took {wall:.1f}s"
