@@ -4,34 +4,50 @@ per chip + wall-clock rank time on GL7d/relat matrices"): exact rank of the
 GL7d-class structured case — the d9 simplex boundary matrix on 26 vertices
 (5,311,735 x 3,124,550, 53.1M nnz; the same size class as GL7d17) — through
 the public API on whatever jax backend is present (the real TPU chip under
-the driver).  The detail payload carries the other BASELINE configs: the
-random 10k x 10k flagship (config #2; metric-capped — see NOTES_r2.md's
-ceiling analysis: an effectively full-rank random 10k rank costs ~n^3/3
-field ops for ANY exact method, so its nnz/s saturates near ~300k at light
-speed), the d7 structured case (2.56M nnz), and a kernel-basis case
-(d8, 28.1M nnz).  Rounds 1-2 reported the flagship as the headline; the
-history is preserved in detail["flagship"] with the same fields.
+the driver).  The detail payload carries the other BASELINE configs and the
+VERDICT-r3 evidence items:
+
+  flagship        the random 10k x 10k case (rounds 1-2 headline;
+                  metric-capped — see NOTES_r2.md's ceiling analysis: an
+                  effectively full-rank random 10k rank costs ~n^3/3 field
+                  ops for ANY exact method, so its nnz/s saturates near
+                  ~300k at light speed)
+  structured      the d7 boundary case (2.56M nnz)
+  structured_large the d9 headline case, with per-phase host/device wall
+                  attribution (echelonize.last_phase_stats)
+  kernel_basis    kernel (null-space) basis of the d9 matrix itself
+                  (1,081,575 kernel rows)
+  large_prime     end-to-end rank at p = 2147483629 (tier-B arithmetic)
+  dense_rref      at-size 2048^2 device dense RREF walls for tier-B
+                  (p = 2147483629) and tier-C (p = 4294967291)
+  certificate     d9 rank-certificate create (includes its L-recording
+                  echelonize) and O(nnz) verify walls
 
 Prints ONE JSON line:
   {"metric": ..., "value": nnz/s, "unit": "nnz/s", "vs_baseline": ratio,
-   "detail": {..., "structured": {...}}}
+   "detail": {...}}
 
-Measurement protocol: the flagship case is run twice and the best wall is
-reported (both appear in the detail payload).  The warm-up phase first
-exercises the device channel (the tunneled TPU link pays a one-time
-30-300 s setup cost on the FIRST device->host transfer of a process —
-measured, see NOTES_r2.md) and a small end-to-end rank, so the reported
-number is the framework's steady-state throughput, not the link's
-process-setup lottery.  One-time jit compiles persist across processes
-(jax_compilation_cache_dir), so the second run measures pure execution.
+Measurement protocol: every case runs >= 2 reps; the BEST wall is the
+reported number and the full runs_s list plus the median are in the detail
+payload (the first rep of a process can pay link setup, first-touch page
+faults, and compile costs — runs_s makes the cold-run variance auditable,
+median_s summarizes it).  The warm-up phase exercises the device channel
+(the tunneled TPU link pays a one-time 30-300 s setup cost on the FIRST
+device->host transfer of a process — measured, see NOTES_r2.md), a small
+end-to-end rank, and a d8-scale (28.1M nnz) structured rank so the d9
+headline's first rep runs on a warmed malloc high-water mark and hot code
+paths rather than the VM's ~10-20 MB/s first-touch fault path.  One-time
+jit compiles persist across processes (jax_compilation_cache_dir), so
+steady-state reps measure pure execution.
 
 vs_baseline normalizes against BASELINE.md's north-star target (10x an
-estimated 1e6 nnz/s SpaSM single-core rate => 1.0 means target met).  The
+ESTIMATED 1e6 nnz/s SpaSM single-core rate => 1.0 means target met).  The
 reference publishes no numbers of its own (BASELINE.md), and its CLI tools
 are not available in this environment to measure directly.
 """
 
 import json
+import statistics
 import sys
 import time
 from math import comb
@@ -47,8 +63,15 @@ from spasm_tpu.utils.hostmem import prefault, tune_host_malloc
 # (utils/hostmem.py — measured 400x on repeated large fills)
 tune_host_malloc()
 
+import importlib
+
 import spasm_tpu as st
+
+# the package rebinds the name `spasm_tpu.echelonize` to the function;
+# importlib gets the module (for last_phase_stats)
+_ech_mod = importlib.import_module("spasm_tpu.echelonize")
 from spasm_tpu.fixtures import simplex_boundary
+from spasm_tpu.ops import dense as dense_ops
 
 N = 10_000
 DENSITY = 1e-3
@@ -57,6 +80,8 @@ TARGET_NNZ_PER_S = 10e6  # north-star: 10x est. 1M nnz/s single-core SpaSM
 BOUNDARY_N, BOUNDARY_K = 22, 7  # 319770 x 170544, 2.56M nnz, rank C(21,7)
 # d9-scale case (GL7d-class size): 5,311,735 x 3,124,550, 53.1M nnz
 LARGE_N, LARGE_K = 26, 9
+LARGE_PRIME_B = 2147483629   # tier-B (near 2^31)
+LARGE_PRIME_C = 4294967291   # tier-C (near 2^32)
 
 
 def warm_device_channel():
@@ -69,73 +94,112 @@ def warm_device_channel():
     np.asarray(jax.block_until_ready(x + 1))
 
 
+def timed_reps(fn, reps):
+    """(best, runs, last_result) over `reps` calls of fn."""
+    runs, out = [], None
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn()
+        runs.append(round(time.time() - t0, 3))
+    return min(runs), runs, out
+
+
 def main():
     # fault the expected peak host footprint up front (parallel touches
     # beat the serial mid-run fault path ~2-5x on this VM) so measured
     # phases run on warm pages
-    prefault(6 << 30)
+    prefault(8 << 30)
     f = st.field(42013)
     rng = np.random.default_rng(SEED)
     A = st.SparseGFp.rand(f, N, N, DENSITY, rng)
 
     warm_device_channel()
-    # warm-up on a small instance so one-time jit compiles (persistently
-    # cached) don't pollute the measurement
-    warm = st.SparseGFp.rand(f, 512, 512, DENSITY * 4, rng)
-    st.rank(warm)
+    # warm-up: a small instance (one-time jit compiles, persistently
+    # cached), then one throwaway d8-scale structured rank so the d9
+    # headline's first rep runs the real code paths on a warmed malloc
+    # high-water mark (VERDICT r3 weak #1: the old warm-up exercised a
+    # small rank only, so d9 rep 1 paid 5x the steady state)
+    st.rank(st.SparseGFp.rand(f, 512, 512, DENSITY * 4, rng))
+    st.rank(simplex_boundary(LARGE_N, 8))  # 3.1M x 1.6M, 28.1M nnz
 
-    runs = []
-    r = None
-    for _ in range(3):  # the tunneled link has slow phases; best-of-3
-        t0 = time.time()
-        r = st.rank(A)
-        runs.append(round(time.time() - t0, 3))
-    wall = min(runs)
+    wall, runs, r = timed_reps(lambda: st.rank(A), 3)
     value = A.nnz / wall
 
     B = simplex_boundary(BOUNDARY_N, BOUNDARY_K)
-    runs_b = []
-    rb = None
-    for _ in range(3):  # host-phase wall noise on this VM is 2-5x
-        t0 = time.time()
-        rb = st.rank(B)
-        runs_b.append(round(time.time() - t0, 3))
-    wall_b = min(runs_b)
+    wall_b, runs_b, rb = timed_reps(lambda: st.rank(B), 3)
     assert rb == comb(BOUNDARY_N - 1, BOUNDARY_K), rb
 
-    # d9-scale structured case: 53M nnz, the reference's GL7d-class size
+    # d9-scale structured case: 53M nnz, the reference's GL7d-class size.
+    # Per-phase host/device attribution captured from the BEST rep.
     C = simplex_boundary(LARGE_N, LARGE_K)
-    runs_c = []
-    rc = None
-    for _ in range(3):  # headline case; 3 reps bound the VM's iowait noise
+    runs_c, phases, rc = [], {}, None
+    for _ in range(3):
         t0 = time.time()
         rc = st.rank(C)
-        runs_c.append(round(time.time() - t0, 3))
+        dt = round(time.time() - t0, 3)
+        if not runs_c or dt < min(runs_c):
+            phases = _ech_mod.last_phase_stats()
+        runs_c.append(dt)
     wall_c = min(runs_c)
     assert rc == comb(LARGE_N - 1, LARGE_K), rc
     large_detail = {
         "case": f"simplex boundary d{LARGE_K} on {LARGE_N} vertices",
         "shape": list(C.shape), "nnz": C.nnz, "rank": rc,
         "wall_s": wall_c, "runs_s": runs_c,
+        "median_s": round(statistics.median(runs_c), 3),
         "nnz_per_s": round(C.nnz / wall_c, 1),
+        "phases": phases,
     }
 
-    # kernel (null-space) basis — the other headline derived op
-    D = simplex_boundary(LARGE_N, 8)  # d8 on 26: 3.1M x 1.56M, 28.1M nnz
-    runs_k = []
-    K = None
-    for _ in range(2):
-        t0 = time.time()
-        K = st.kernel(D)
-        runs_k.append(round(time.time() - t0, 3))
-    wall_k = min(runs_k)
-    assert K.shape == (D.shape[1] - comb(LARGE_N - 1, 8), D.shape[1])
+    # kernel (null-space) basis of the d9 matrix itself (VERDICT r3
+    # item 6: the harder, representative case, replacing the d8 entry)
+    wall_k, runs_k, K = timed_reps(lambda: st.kernel(C), 2)
+    assert K.shape == (C.shape[1] - rc, C.shape[1])
     kernel_detail = {
-        "case": f"kernel basis, simplex boundary d8 on {LARGE_N} vertices",
-        "shape": list(D.shape), "nnz": D.nnz,
+        "case": f"kernel basis, simplex boundary d{LARGE_K} on "
+                f"{LARGE_N} vertices",
+        "shape": list(C.shape), "nnz": C.nnz,
         "kernel_rows": K.shape[0], "kernel_nnz": K.nnz,
         "wall_s": wall_k, "runs_s": runs_k,
+        "median_s": round(statistics.median(runs_k), 3),
     }
+
+    # end-to-end large-prime rank (tier-B arithmetic end to end)
+    fB = st.field(LARGE_PRIME_B)
+    G = st.SparseGFp.rand(fB, 1024, 1024, 0.01, np.random.default_rng(1))
+    wall_lp, runs_lp, r_lp = timed_reps(lambda: st.rank(G), 2)
+    large_prime_detail = {
+        "case": f"rank 1024x1024 d=0.01 mod {LARGE_PRIME_B}",
+        "nnz": G.nnz, "rank": r_lp, "wall_s": wall_lp, "runs_s": runs_lp,
+    }
+
+    # at-size dense RREF walls across the upper prime tiers (the FFPACK
+    # replacement, VERDICT r3 item 4; tier-A small-prime speed is implied
+    # by the flagship's dense finish)
+    dense_detail = {}
+    for tier, p in (("tier_b", LARGE_PRIME_B), ("tier_c", LARGE_PRIME_C)):
+        fp = st.field(p)
+        X = fp.rand((2048, 2048), np.random.default_rng(2)).astype(np.int64)
+        wall_d, runs_d, out = timed_reps(lambda: dense_ops.rref(fp, X), 2)
+        dense_detail[tier] = {"p": p, "shape": [2048, 2048],
+                              "rank": out["rank"], "wall_s": wall_d,
+                              "runs_s": runs_d}
+
+    # d9 rank certificate: create (includes its own L-recording
+    # echelonize) + O(nnz) verify (SURVEY 2.8 failure-detection subsystem)
+    from spasm_tpu.certificate import matrix_hash
+
+    h = matrix_hash(C)
+    t0 = time.time()
+    proof = st.certificate_rank_create(C, hash_=h)
+    cert_create_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    ok = st.certificate_rank_verify(C, h, proof)
+    cert_verify_s = round(time.time() - t0, 3)
+    assert ok and proof.r == rc
+    cert_detail = {"case": "d9 rank certificate (create incl. L-echelonize)",
+                   "create_s": cert_create_s, "verify_s": cert_verify_s,
+                   "rank": proof.r}
 
     value_c = C.nnz / wall_c
     print(json.dumps({
@@ -146,6 +210,8 @@ def main():
         "vs_baseline": round(value_c / TARGET_NNZ_PER_S, 4),
         "detail": {
             "rank": rc, "nnz": C.nnz, "wall_s": wall_c, "runs_s": runs_c,
+            "median_s": round(statistics.median(runs_c), 3),
+            "phases": phases,
             "flagship": {
                 "case": f"rank {N}x{N} d={DENSITY} mod 42013 (rounds 1-2 "
                         "headline; metric-capped, see module docstring)",
@@ -161,6 +227,9 @@ def main():
             },
             "structured_large": large_detail,
             "kernel_basis": kernel_detail,
+            "large_prime": large_prime_detail,
+            "dense_rref": dense_detail,
+            "certificate": cert_detail,
         },
     }))
 

@@ -231,8 +231,21 @@ int64_t spasm_tpu_gplu(
         }
         if (fail)
             break;
-        if (nt > 1)
-            qsort(touched, (size_t) nt, sizeof(int32_t), gplu_cmp_i32);
+        if (nt > 1) {
+            if (nt <= 48) {  /* insertion sort: small rows dominate */
+                for (int64_t a_ = 1; a_ < nt; a_++) {
+                    int32_t v = touched[a_];
+                    int64_t b_ = a_ - 1;
+                    while (b_ >= 0 && touched[b_] > v) {
+                        touched[b_ + 1] = touched[b_];
+                        b_--;
+                    }
+                    touched[b_ + 1] = v;
+                }
+            } else {
+                qsort(touched, (size_t) nt, sizeof(int32_t), gplu_cmp_i32);
+            }
+        }
         /* leftmost nonzero residual column becomes the new pivot */
         int64_t jpiv = -1, vpiv = 0;
         for (int64_t t = 0; t < nt; t++) {

@@ -40,6 +40,25 @@ void spasm_tpu_free(void *p) { free(p); }
 
 int spasm_tpu_cmp_i32(const void *a, const void *b);
 
+/* rows typically touch few columns; insertion sort beats qsort's call +
+ * dispatch overhead up to a few dozen elements */
+static inline void sort_touched(int32_t *a, int64_t n)
+{
+    if (n <= 48) {
+        for (int64_t i = 1; i < n; i++) {
+            int32_t v = a[i];
+            int64_t j = i - 1;
+            while (j >= 0 && a[j] > v) {
+                a[j + 1] = a[j];
+                j--;
+            }
+            a[j + 1] = v;
+        }
+        return;
+    }
+    qsort(a, (size_t) n, sizeof(int32_t), spasm_tpu_cmp_i32);
+}
+
 /* returns total output nnz, or -1 on allocation failure.
  * outp: (q+1) int64 indptr (filled).
  * out_j / out_x: *one* malloc'd buffer each (caller frees). */
@@ -159,8 +178,7 @@ int64_t spasm_tpu_schur_update(
                        sparse regimes but can be wide after fill — use a
                        simple qsort on the touched slice */
                     if (ntouch > 1)
-                        qsort(touched, (size_t)ntouch, sizeof(int32_t),
-                              spasm_tpu_cmp_i32);
+                        sort_touched(touched, ntouch);
                     int64_t row_start = nout;
                     for (int64_t t = 0; t < ntouch; t++) {
                         int32_t j = touched[t];
@@ -341,8 +359,7 @@ int64_t spasm_tpu_schur_update_ranged(
                         }
                     }
                     if (ntouch > 1)
-                        qsort(touched, (size_t)ntouch, sizeof(int32_t),
-                              spasm_tpu_cmp_i32);
+                        sort_touched(touched, ntouch);
                     int64_t row_start = nout;
                     for (int64_t t = 0; t < ntouch; t++) {
                         int32_t j = touched[t];
@@ -512,8 +529,7 @@ int64_t spasm_tpu_schur_update_qinv(
                         }
                     }
                     if (ntouch > 1)
-                        qsort(touched, (size_t)ntouch, sizeof(int32_t),
-                              spasm_tpu_cmp_i32);
+                        sort_touched(touched, ntouch);
                     int64_t row_start = nout;
                     for (int64_t t = 0; t < ntouch; t++) {
                         int32_t j = touched[t];

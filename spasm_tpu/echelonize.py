@@ -69,16 +69,12 @@ class EchelonizeOptions:
     # TPU-specific: run the round Schur updates with the device-resident
     # sparse waves (ops/sparse_device) above this nnz; 0 disables.
     # Requires opts.L == False (coefficient recording stays on host).
+    # Default 0: the measured crossover table (tools/device_crossover.py,
+    # NOTES_r4) shows the sort-based device waves lose to the OpenMP host
+    # Schur kernel on every real round workload on v5e — the knob remains
+    # for meshes (where sharding changes the economics) and future
+    # hardware.
     device_sparse_min_nnz: int = 0
-    # TPU-specific, EXPERIMENTAL (manual-only): fully device-resident FL
-    # rounds (ops/resident) before the host round loop.  Exact and
-    # chip-validated, but the sort-based waves (~1.4 s/wave at 2^25
-    # pools) lose to the native host round loop at every pool size inside
-    # the validated envelope (device_rounds_max_pool), so there is no
-    # size window where auto-engagement would win — set True explicitly
-    # to force the path (tests / future economics).  Requires
-    # opts.L == False and p < 2^31.
-    device_rounds: bool = False
     # TPU-specific: on an accelerator backend, switch to the dense finish
     # at a LOWER estimated Schur density whenever it fits the dense
     # budget — the MXU makes the dense finish far cheaper relative to
@@ -87,13 +83,11 @@ class EchelonizeOptions:
     # case exploded 1.5M -> 26M nnz in the round the 0.05 gate let
     # through).  None disables (reference behavior).
     device_sparsity_threshold: "float | None" = 0.02
-    # Validated entry-pool capacity for the resident rounds: the bounded
-    # dedup-wave rewrite runs correct and fault-free at 2^25 pools
-    # (tools/tpu_resident_probe.py: d7 round exact, Schur empty), but at
-    # ~1.4 s/wave it loses to the host loop at today's sizes — the pool
-    # sorts dominate.  Larger pools are untested; they fall back to the
-    # host loop.
-    device_rounds_max_pool: int = 1 << 25
+    # (the round-2/3 experimental fully-device-resident FL round loop —
+    # ops/resident.py, options device_rounds / device_rounds_max_pool —
+    # was retired in round 4: chip-validated but it lost to the host
+    # round loop at every validated pool size, with no winning regime in
+    # sight; see NOTES_r4.md and git history for the measurements)
 
 
 def parse_echelonize_opts(opts=None, **kwargs) -> EchelonizeOptions:
@@ -185,6 +179,20 @@ class LU:
                 f"{self.L.shape if self.L is not None else None}")
 
 
+_LAST_STATS: dict = {}
+
+
+def last_phase_stats() -> dict:
+    """Per-phase wall attribution of the most recent ``echelonize`` call
+    in this process: pivot_s (structural pivot search), schur_s (density
+    estimate + mutual reduce + Schur updates), finish_s (dense/GPLU
+    finish), assemble_s (U/qinv/L assembly), device_s (wall spent inside
+    device-dispatch paths — the sparse device Schur and the device dense
+    finish), total_s, and device_share = device_s / total_s.  The bench
+    driver records this in BENCH detail (VERDICT r3 item 1)."""
+    return dict(_LAST_STATS)
+
+
 def echelonize(A: SparseGFp, opts: EchelonizeOptions | None = None,
                verbose=False, checkpoint: str | None = None,
                resume: str | None = None, mesh=None, **kwargs) -> LU:
@@ -210,6 +218,8 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     f = A.field
     n, m = A.shape
     t_start = wtime()
+    stats = {"pivot_s": 0.0, "schur_s": 0.0, "finish_s": 0.0,
+             "assemble_s": 0.0, "device_s": 0.0}
     log(f"[echelonize] Start on {n} x {m} matrix with {A.nnz} nnz")
 
     # SparseGFp is canonical by construction (balanced values, sorted
@@ -252,54 +262,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         _save_checkpoint(checkpoint, f, opts, round_idx, r, S, row_origin,
                          m, U_blocks, piv_cols_all, piv_origin_all, L_parts)
 
-    # device-resident FL rounds (ops/resident): S and the pivot pools stay
-    # on device across rounds, only stop-rule scalars cross the link — the
-    # TPU analog of the reference's in-memory round loop
-    # (src/SpaSM.jl:860-866).  The host loop continues on the residual
-    # (adding FL-cols/greedy pivot harvest and any remaining rounds).
     dense_piv_start0 = None
-    if round_idx == 0 and _device_rounds_enabled(opts, f, S):
-        from .ops.resident import device_echelon_rounds
-
-        t0 = wtime()
-        res = device_echelon_rounds(f, S, opts,
-                                    max_round=opts.max_round)
-        if res is not None:
-            log(f"[echelonize/device] {res['rounds']} resident rounds, "
-                f"{res['r']} pivots, {res['nnz_rest']} nz left "
-                f"(stop: {res['stop']}) [{wtime() - t0:.1f}s]")
-            U_blocks.append(res["U"])
-            piv_cols_all.append(res["pcols"])
-            piv_origin_all.append(row_origin[res["prows"]])
-            r += res["r"]
-            round_idx = res["rounds"]
-            blk_dev = None
-            if res["stop"] == "density" and opts.enable_dense:
-                # dense-bound residual: finish straight from the device
-                # pool (the Schur complement never touches the host)
-                blk_dev = _dense_finish_from_device(f, res, row_origin,
-                                                    opts, m)
-            if blk_dev is not None:
-                Upart_d, pcols_d, porig_d = blk_dev
-                dense_piv_start0 = r
-                U_blocks.append(Upart_d)
-                piv_cols_all.append(pcols_d)
-                piv_origin_all.append(porig_d)
-                r += pcols_d.size
-                S = sp.csr_matrix((0, m), dtype=np.int64)
-                row_origin = np.zeros(0, np.int64)
-                round_idx = opts.max_round  # nothing left for host rounds
-            else:
-                S = res["materialize_S"]()
-                # compact away emptied pivot rows so the finish / later
-                # rounds don't iterate dead rows
-                keep_rows = np.flatnonzero(np.diff(S.indptr) > 0)
-                S = S[keep_rows]
-                row_origin = row_origin[keep_rows]
-            if checkpoint:
-                _save_checkpoint(checkpoint, f, opts, round_idx, r, S,
-                                 row_origin, m, U_blocks, piv_cols_all,
-                                 piv_origin_all, L_parts)
 
     force_dense = False  # set when a round's density gate trips
     while round_idx < opts.max_round:
@@ -337,6 +300,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         log(f"[pivots] greedy cycle-free completion: {counts['greedy']} "
             f"pivots found [{wtime() - t0:.1f}s]")
         log(f"[pivots] {prows.size} pivots found")
+        stats["pivot_s"] += wtime() - t0
         npiv = prows.size
         nrows_active = int((np.diff(S.indptr) > 0).sum())
         if npiv < opts.min_pivot_proportion * max(1, min(nrows_active,
@@ -385,10 +349,12 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         if use_device_sparse:
             # the device path wants the SparseGFp view of the pivot block
             # (built lazily — the host path never needs it)
+            t_dev = wtime()
             Ublock_w = SparseGFp.from_scipy(Upart, f.p,
                                             assume_canonical=True)
             S_new = _device_sparse_schur(f, mesh, Ublock_w, pcols,
                                          levels_blk, S_rest)
+            stats["device_s"] += wtime() - t_dev
             if S_new is not None:
                 S_new = S_new.to_scipy()
         if S_new is None:  # host path (also the overflow fallback)
@@ -431,6 +397,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         log(f"Schur complement: {S_new.shape[0]} * {S_new.shape[1]} "
             f"[{S_new.nnz} nz / density= {dens:.3f}], "
             f"{wtime() - t0:.1f}s")
+        stats["schur_s"] += wtime() - t0
 
         if opts.L:
             if reduced_L:
@@ -457,6 +424,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                              piv_origin_all, L_parts, L_rev_segments)
 
     # ---------------- finish ----------------
+    t_finish = wtime()
     if S.shape[0] and S.nnz:
         nrows = int((np.diff(S.indptr) > 0).sum())
         alive_mask = np.zeros(S.shape[1], bool)
@@ -502,8 +470,10 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             r += pcols.size
     else:
         dense_piv_start = dense_piv_start0
+    stats["finish_s"] = wtime() - t_finish
 
     # ---------------- assemble ----------------
+    t_assemble = wtime()
     if U_blocks:
         U_sp = sp.vstack([sp.csr_matrix(b) for b in U_blocks], format="csr")
         piv_cols = np.concatenate(piv_cols_all)
@@ -566,9 +536,28 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
             p=p_vec[order], _levels=np.zeros(r, np.int64), L=L_c,
             dense_piv_start=0 if opts.L else None,  # L_c is not triangular
             lp_order=None)
+    stats["assemble_s"] = wtime() - t_assemble
+    stats["total_s"] = wtime() - t_start
+    stats["device_s"] += _drain_device_finish_wall()
+    stats["device_share"] = (stats["device_s"] / stats["total_s"]
+                             if stats["total_s"] else 0.0)
+    global _LAST_STATS
+    _LAST_STATS = {k: round(v, 4) for k, v in stats.items()}
     log(f"[echelonize] Done in {wtime() - t_start:.1f}s. Rank {r}, "
         f"{U.nnz} nz in basis")
     return fact
+
+
+_DEVICE_FINISH_WALL = [0.0]
+
+
+def _drain_device_finish_wall() -> float:
+    """Wall accumulated inside the device dense-finish loops since the
+    last drain (set by _blocked_device_loop / _fused_device_finish /
+    _dense_finish_from_device)."""
+    v = _DEVICE_FINISH_WALL[0]
+    _DEVICE_FINISH_WALL[0] = 0.0
+    return v
 
 
 def _save_checkpoint(path, f, opts, round_idx, r, S, row_origin, m,
@@ -590,76 +579,6 @@ def _save_checkpoint(path, f, opts, round_idx, r, S, row_origin, m,
         L_parts=L_parts if opts.L else None,
         L_rev_segments=L_rev_segments if opts.L else ())
     log(f"[echelonize] checkpoint saved at round {round_idx}")
-
-
-def _dense_finish_from_device(f: Field, res, row_origin, opts, m):
-    """Blocked dense finish fed DIRECTLY from the device-resident pool
-    left by the resident rounds — the Schur complement never returns to
-    the host.  Returns (Usp, pcols, porig) like the other finish blocks,
-    or None (empty tail / budget exceeded -> caller materializes and
-    falls back)."""
-    import jax.numpy as jnp
-
-    from .ops import resident as rz
-
-    rows_d, cols_d, vals_d = res["S_dev"]
-    n_b = res["n_b"]
-    rows2, orig_of_d, nact_d = rz._renumber_rows(n_b, rows_d)
-    nact = int(nact_d)
-    if nact == 0:
-        return None
-    na = m  # device path keeps full column width (no alive-col remap)
-    bs = min(nact, max(128, opts.dense_block_size))
-    if (opts.dense_block_size + min(nact, na)) * na > opts.dense_budget:
-        return None
-    bs_b = dense_ops._bucket(bs)
-    na_b = dense_ops._bucket(na)
-    cap = dense_ops._bucket(min(nact, na)) + bs_b
-    log(f"[echelonize/dense] processing {nact} x {na} in blocks of {bs} "
-        f"(device-resident source)")
-    nblocks = -(-nact // bs)
-    bounds = np.arange(nblocks + 1, dtype=np.int32) * bs
-    bounds[-1] = nact
-    offs = np.asarray(rz._block_offsets(rows2, jnp.asarray(bounds)))
-    counts = np.diff(offs)
-    Ud = jnp.zeros((cap, na_b), jnp.int32)
-    pc_map = jnp.zeros(cap, jnp.int32)
-    r_d_dev = jnp.int32(0)
-    deferred = []
-    for b in range(nblocks):
-        b0, b1 = int(bounds[b]), int(bounds[b + 1])
-        ncap = max(512, 1 << int(max(1, int(counts[b]) - 1)).bit_length())
-        ri, ci, vi = rz._slice_block(ncap, n_b, rows2, cols_d, vals_d,
-                                     jnp.int32(offs[b]),
-                                     jnp.int32(counts[b]), jnp.int32(b0))
-        Ud, pc_map, r_d_dev, rank_d, prow_of, pcol_of = (
-            dense_ops.blocked_finish_step(
-                f, (bs_b, na_b), dense_ops.DEFAULT_PANEL, ri, ci, vi,
-                Ud, pc_map, r_d_dev))
-        for arr in (rank_d, prow_of, pcol_of):
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:  # pragma: no cover
-                pass
-        deferred.append((b0, rank_d, prow_of, pcol_of))
-    piv_cols_loc: list[int] = []
-    piv_rows_glob: list[int] = []
-    for pb0, rank_d, prow_of, pcol_of in deferred:
-        new_rank = int(rank_d)
-        if new_rank:
-            prow = np.asarray(prow_of)[:new_rank].astype(np.int64)
-            pcol = np.asarray(pcol_of)[:new_rank].astype(np.int64)
-            piv_cols_loc.extend(pcol.tolist())
-            piv_rows_glob.extend((pb0 + prow).tolist())
-    r_d = len(piv_cols_loc)
-    if r_d == 0:
-        return None
-    Usp = dense_ops.extract_u_csr(Ud, pc_map, r_d, na, piv_cols_loc)
-    log(f"[echelonize/dense] done, {r_d} pivots")
-    orig_of = np.asarray(orig_of_d).astype(np.int64)
-    porig = row_origin[orig_of[np.asarray(piv_rows_glob, np.int64)]]
-    pcols = np.asarray(piv_cols_loc, np.int64)
-    return mod_reduce(Usp, f), pcols, porig
 
 
 def _round_schur_estimate(f: Field, S, prows, pcols):
@@ -701,14 +620,6 @@ def _round_schur_estimate(f: Field, S, prows, pcols):
     S_rest = S[rest_rows]
     est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
     return est, S_rest, rest_rows, (Upart, piv_vals, levels_blk)
-
-
-def _device_rounds_enabled(opts, f: Field, S) -> bool:
-    if opts.L or not opts.device_rounds:
-        return False
-    if f.p > (1 << 31) - 1:  # device modular arithmetic range
-        return False
-    return True
 
 
 def _on_accelerator() -> bool:
@@ -854,8 +765,10 @@ def _dense_finish_blocked(f: Field, S, row_origin, alive_cols, r0, opts,
     log(f"[echelonize/dense] processing {n_s} x {na} in blocks of {bs} "
         f"({'device' if device_mode else 'host'})")
     if device_mode:
+        t_dev = wtime()
         result = _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all,
                                       vals_all, opts)
+        _DEVICE_FINISH_WALL[0] += wtime() - t_dev
     else:
         result = _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all,
                                     vals_all, opts)

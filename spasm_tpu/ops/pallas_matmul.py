@@ -190,7 +190,13 @@ def _pallas_mm(f: Field, a, b, bm=BM, bn=BN, bk=BK):
                  + [pl.BlockSpec((bk, bn), lambda i, j, k_: (k_, j))
                     for _ in range(nl)],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k_: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((n, m), jnp.int32),
+        # under shard_map the output varies over the same mesh axes as the
+        # inputs (per-shard matmul); without the vma annotation the
+        # shard_map vma check rejects the pallas call on multi-chip TPU
+        # (exposed by the v5e:2x4 AOT compile, tools/overlap_evidence.py)
+        out_shape=jax.ShapeDtypeStruct(
+            (n, m), jnp.int32,
+            vma=jax.typeof(a).vma | jax.typeof(b).vma),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)
                         for _ in range(2 * nl - 1)],
         compiler_params=pltpu.CompilerParams(

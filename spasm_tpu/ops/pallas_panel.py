@@ -50,7 +50,17 @@ MAX_ROWS = 4096  # P + G + input copy at c=128 must fit 16 MiB VMEM
 _SCALEFREE_MAX_P = 65535
 
 
+# The tier-B kernel carries an extra H (scaled-G) output, the per-row
+# scale vector, and the 16x16 uint32-split temporaries: at (2048, 128)
+# its scoped VMEM footprint is 17.01 MiB vs the 16 MiB v5e limit
+# (measured: compile-time OOM).  Cap tier-B panels at 1024 rows; larger
+# panels take the XLA fallback (same results, ~1.5x the panel wall).
+MAX_ROWS_B = 1024
+
+
 def supported(f: Field, n: int) -> bool:
+    if f.tier == "b" and f.p > _SCALEFREE_MAX_P:
+        return f.p >= _MIN_P and n <= MAX_ROWS_B
     return f.tier in ("a", "b") and f.p >= _MIN_P and n <= MAX_ROWS
 
 

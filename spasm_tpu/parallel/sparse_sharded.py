@@ -266,12 +266,12 @@ def sharded_sparse_eliminate(f: Field, mesh: Mesh, U: SparseGFp, piv_cols,
     rr = _global_get(rr)
     cc = _global_get(cc)
     vv = _global_get(vv)
-    out_i, out_j, out_v = [], [], []
-    for s in range(nshards):
-        keep = rr[s] < per
-        out_i.append(rr[s][keep].astype(np.int64) + s * per)
-        out_j.append(cc[s][keep].astype(np.int64))
-        out_v.append(vv[s][keep].astype(np.int64))
+    # vectorized reassembly: local row + shard offset in one broadcast,
+    # one boolean compress over all shards (the per-shard Python loop
+    # cost O(nshards) passes at scale)
+    keep = rr < per
+    gids = (rr.astype(np.int64)
+            + (np.arange(nshards, dtype=np.int64) * per)[:, None])
     return SparseGFp.from_coo(
-        f, B.n, m, np.concatenate(out_i), np.concatenate(out_j),
-        np.concatenate(out_v), sum_duplicates=False)
+        f, B.n, m, gids[keep], cc[keep].astype(np.int64),
+        vv[keep].astype(np.int64), sum_duplicates=False)

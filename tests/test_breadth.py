@@ -97,11 +97,11 @@ def test_scale_by_zero(rng):
 def test_tier_b_pipeline_at_size(rng):
     # tier-B prime at a real size (VERDICT r1: previously only 30x34):
     # multi-round sparse + dense finish, validated against the structural
-    # rank upper bound and the host-vs-device-rounds parity
+    # rank upper bound and host-vs-device-sparse-Schur parity
     f2 = field(2147483629)
     A = SparseGFp.rand(f2, 800, 800, 0.005, rng)
-    r_host = rank(A, device_rounds=False)
-    r_dev = rank(A, device_rounds=True)
+    r_host = rank(A)
+    r_dev = rank(A, device_sparse_min_nnz=1)  # sparse_device waves
     assert r_host == r_dev
     from spasm_tpu.graphs import structural_rank
 

@@ -308,7 +308,7 @@ def test_adversarial_cascade_tail(rng):
     vv = np.ones(ii.size, np.int64)
     A = SparseGFp.from_scipy(
         sp.csr_matrix((vv, (ii, jj)), shape=(n, n)), F.p)
-    fact = echelonize(A, enable_dense=False, device_rounds=False)
+    fact = echelonize(A, enable_dense=False)
     assert fact.r == n
     check_fact(A, fact)
 
@@ -337,9 +337,9 @@ def test_gplu_adversarial_dense_block(rng, monkeypatch):
     A = SparseGFp.from_scipy(
         __import__("scipy.sparse", fromlist=["csr_matrix"]).csr_matrix(
             F.rand((n, n), rng).astype(np.int64)), F.p)
-    fact = echelonize(A, enable_dense=False, device_rounds=False)
+    fact = echelonize(A, enable_dense=False)
     assert engaged.get("yes"), "sequential GPLU fallback did not engage"
-    fact_dense = echelonize(A, enable_dense=True, device_rounds=False)
+    fact_dense = echelonize(A, enable_dense=True)
     assert fact.r == fact_dense.r
     assert rref_of_U(fact) == rref_of_U(fact_dense)
 
@@ -352,7 +352,7 @@ def test_gplu_sequential_with_L(rng):
     D = F.rand((n, n), rng).astype(np.int64)
     D[rng.random((n, n)) < 0.5] = 0  # half-dense: still defeats batching
     A = SparseGFp.from_scipy(sp.csr_matrix(D), F.p)
-    fact = echelonize(A, enable_dense=False, device_rounds=False, L=True)
+    fact = echelonize(A, enable_dense=False, L=True)
     assert fact.L @ fact.U == A
 
 

@@ -221,7 +221,7 @@ def test_gplu_sequential_scales_dense_cored():
     R = rng.integers(1, f.p, (10_000, 256)).astype(np.int64)
     A = SparseGFp.from_dense(f.normalize(R @ G), f.p)
     t0 = time.time()
-    fact = echelonize(A, enable_dense=False, device_rounds=False)
+    fact = echelonize(A, enable_dense=False)
     wall = time.time() - t0
     assert fact.r == 256  # rank(R @ G) = 256 (random full-rank factors)
     # exactness: every row of A eliminates to zero against U
