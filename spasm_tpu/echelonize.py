@@ -761,7 +761,7 @@ def _dense_finish_blocked(f: Field, S, row_origin, alive_cols, r0, opts,
     rows_all, cols_all, vals_all = (rows_all[order], cols_all[order],
                                     vals_all[order])
 
-    device_mode = bs * na >= dense_ops.HOST_CUTOFF
+    device_mode = bs * na >= dense_ops.host_cutoff_for(f)
     log(f"[echelonize/dense] processing {n_s} x {na} in blocks of {bs} "
         f"({'device' if device_mode else 'host'})")
     if device_mode:

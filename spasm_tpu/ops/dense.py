@@ -277,6 +277,20 @@ def _rref_jit(f: Field, X, npivcols: int, panel: int, want_transform: bool):
 
 # below this element count, host NumPy elimination beats device compile+run
 HOST_CUTOFF = 1 << 20
+# ... but for LARGE primes the host int64 matmul must chunk to safe_k
+# columns (overflow bound) with a modulo pass per chunk — at p ~ 2^31
+# safe_k is 4 and the host path loses ~8x to the limb-plane device path
+# already at 800^2 (measured on XLA:CPU; far more on the real chip), so
+# the crossover drops to ~256^2
+HOST_CUTOFF_BIGP = 1 << 16
+
+
+def host_cutoff_for(f: Field) -> int:
+    """Element-count crossover between the host NumPy elimination and the
+    device path, as a function of the prime (see HOST_CUTOFF_BIGP)."""
+    half = max(1, f.halfp)
+    safe_k = max(1, (1 << 62) // (half * half))
+    return HOST_CUTOFF if safe_k >= 256 else HOST_CUTOFF_BIGP
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -514,7 +528,7 @@ def _bucket(x: int) -> int:
 
 
 def rref(f: Field, X, want_transform: bool = False,
-         panel: int = DEFAULT_PANEL, host_cutoff: int = HOST_CUTOFF):
+         panel: int = DEFAULT_PANEL, host_cutoff: "int | None" = None):
     """Host-facing dense RREF.  X: (n, m) array-like of balanced int32.
 
     Returns a dict with numpy results:
@@ -538,6 +552,8 @@ def rref(f: Field, X, want_transform: bool = False,
                     piv_cols=np.zeros(0, np.int64),
                     qinv=np.full(m, -1, np.int64),
                     T=np.eye(n, dtype=np.int32) if want_transform else None)
+    if host_cutoff is None:
+        host_cutoff = host_cutoff_for(f)
     if n * m < host_cutoff:
         return _host_rref(f, X, want_transform)
     panel = min(panel, max(8, m))

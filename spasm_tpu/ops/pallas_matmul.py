@@ -232,6 +232,14 @@ def modmatmul_pallas(f: Field, a, b):
     bm = min(BM, max(128, -(-n // 128) * 128))
     bn = min(BN, max(128, -(-m // 128) * 128))
     bk = min(BK, max(256, -(-k // 256) * 256))
+    nl = num_limbs(f.p)
+    if nl >= 3:
+        # per-step VMEM = 2*nl double-buffered s8 input blocks + the
+        # (2*nl - 1) s32 scratch accumulators + the s32 output block; at
+        # nl = 4 the 512x512 tiles hit 17 MiB > the 16 MiB scoped limit
+        # (measured compile-time OOM on v5e) — halve the output tile
+        bm = min(bm, 256)
+        bn = min(bn, 256)
     np_, mp_, kp_ = -(-n // bm) * bm, -(-m // bn) * bn, -(-k // bk) * bk
     if (np_, kp_) != (n, k):
         a = jnp.pad(a, ((0, np_ - n), (0, kp_ - k)))

@@ -172,7 +172,16 @@ def ell_pack(U):
 def eliminate_device(f: Field, U, piv_cols, levels, B, cap_factor=4,
                      cap_hits=None):
     """Host-facing wrapper: U, B SparseGFp; returns the eliminated B or
-    None on capacity overflow (caller falls back to the host waves)."""
+    None on capacity overflow (caller falls back to the host waves).
+
+    Single-chip economics (measured, tools/device_crossover.py +
+    NOTES_r4.md): the sort-based waves LOSE to the OpenMP host Schur
+    kernel by 2-3 orders of magnitude on real round workloads on v5e
+    (d7 round 0: 17 s vs 0.05 s) and a 2^27-element pool faulted the
+    chip — keep `device_sparse_min_nnz` at its 0 (disabled) default on
+    one chip.  The supported use is the MESH path (sparse_sharded.py),
+    where sharding divides the pool per chip; validated envelope there
+    is <= ~2M nnz per shard."""
     npiv, m = U.shape
     q = B.shape[0]
     u_cols, u_vals = ell_pack(U)
