@@ -406,6 +406,15 @@ int64_t spasm_tpu_schur_update_ranged(
     return total;
 }
 
+/* interleaved sparse-accumulator cell: value + stamp share one 16-byte
+ * slot, so a random column update touches ONE cache line instead of two
+ * (separate x[]/stamp[] arrays cost two misses per update — measured
+ * ~25% of the d9 headline's Schur kernel wall) */
+typedef struct {
+    int64_t val;
+    int64_t stamp;
+} spa_cell;
+
 /* qinv-driven variant against a SEPARATE (mutually reduced) pivot block:
  * D = B - B[:, piv_cols] @ U where the coefficient of B row i against U
  * row k is read DIRECTLY off B[i, pivcol(k)] via qinv (qinv[j] = U row
@@ -472,8 +481,7 @@ int64_t spasm_tpu_schur_update_qinv(
 #endif
         if (!fail) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
-            int64_t *x = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
-            int64_t *stamp = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
+            spa_cell *spa = (spa_cell *)malloc(sizeof(spa_cell) * (size_t)m);
             int32_t *touched = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
             int64_t cap = 1024;
             for (int64_t i = r0; i < r1; i++) {
@@ -487,21 +495,22 @@ int64_t spasm_tpu_schur_update_qinv(
             }
             int32_t *oj = (int32_t *)malloc(sizeof(int32_t) * (size_t)cap);
             int64_t *ox = (int64_t *)malloc(sizeof(int64_t) * (size_t)cap);
-            if (!x || !stamp || !touched || !oj || !ox) {
+            if (!spa || !touched || !oj || !ox) {
 #pragma omp atomic write
                 fail = 1;
             } else {
-                memset(stamp, 0xff, sizeof(int64_t) * (size_t)m);
+                for (int64_t j = 0; j < m; j++)
+                    spa[j].stamp = -1;
                 int64_t nout = 0;
                 for (int64_t i = r0; i < r1; i++) {
                     int64_t ntouch = 0;
                     for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
                         int32_t j = Bj[t];
-                        if (stamp[j] != i) {
-                            stamp[j] = i; x[j] = 0;
+                        if (spa[j].stamp != i) {
+                            spa[j].stamp = i; spa[j].val = 0;
                             touched[ntouch++] = j;
                         }
-                        x[j] += Bx[t];
+                        spa[j].val += Bx[t];
                     }
                     for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
                         int64_t k = qinv[Bj[t]];
@@ -511,20 +520,21 @@ int64_t spasm_tpu_schur_update_qinv(
                         if (reduce_each) {
                             for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
                                 int32_t j = Uj[u];
-                                if (stamp[j] != i) {
-                                    stamp[j] = i; x[j] = 0;
+                                if (spa[j].stamp != i) {
+                                    spa[j].stamp = i; spa[j].val = 0;
                                     touched[ntouch++] = j;
                                 }
-                                x[j] = balanced(x[j] - c * Ux[u], P, halfp);
+                                spa[j].val = balanced(
+                                    spa[j].val - c * Ux[u], P, halfp);
                             }
                         } else {
                             for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
                                 int32_t j = Uj[u];
-                                if (stamp[j] != i) {
-                                    stamp[j] = i; x[j] = 0;
+                                if (spa[j].stamp != i) {
+                                    spa[j].stamp = i; spa[j].val = 0;
                                     touched[ntouch++] = j;
                                 }
-                                x[j] -= c * Ux[u];
+                                spa[j].val -= c * Ux[u];
                             }
                         }
                     }
@@ -533,7 +543,7 @@ int64_t spasm_tpu_schur_update_qinv(
                     int64_t row_start = nout;
                     for (int64_t t = 0; t < ntouch; t++) {
                         int32_t j = touched[t];
-                        int64_t v = balanced(x[j], P, halfp);
+                        int64_t v = balanced(spa[j].val, P, halfp);
                         if (v) { oj[nout] = j; ox[nout] = v; nout++; }
                     }
                     outp[i + 1] = nout - row_start;
@@ -541,7 +551,7 @@ int64_t spasm_tpu_schur_update_qinv(
                 tj[tid] = oj; tx[tid] = ox; tn[tid] = nout;
                 oj = NULL; ox = NULL;
             }
-            free(x); free(stamp); free(touched);
+            free(spa); free(touched);
             if (oj) free(oj);
             if (ox) free(ox);
         }

@@ -587,8 +587,12 @@ def _round_schur_estimate(f: Field, S, prows, pcols):
     estimate the Schur complement density (the reference's
     spasm_schur_estimate_density gate, src/SpaSM.jl:763).  Returns
     (est, S_rest, rest_rows, (Upart, piv_vals, Ublock_w, levels_blk))."""
+    from .native import gather_rows_native, scale_rows_native
+
     npiv = prows.size
-    Upart = sp.csr_matrix(S[prows])  # (npiv, m) in pivot order
+    Upart = gather_rows_native(S, prows)  # (npiv, m) in pivot order
+    if Upart is None:
+        Upart = sp.csr_matrix(S[prows])
     # pivot values: FL pivots sit at their row's LEFTMOST entry (the vast
     # majority — all of them on boundary-class rounds), readable straight
     # off the CSR; only the general (greedy/FL-col) pivots need scipy's
@@ -601,23 +605,29 @@ def _round_schur_estimate(f: Field, S, prows, pcols):
     if rest.size:
         piv_vals[rest] = np.asarray(
             Upart[rest, pcols[rest]]).ravel().astype(np.int64)
-    row_of_entry = np.repeat(np.arange(npiv), np.diff(Upart.indptr))
     if piv_vals.size and np.abs(piv_vals).max() <= 1:
         # +-1 pivots (boundary matrices, the reference's real domain):
         # the inverse equals the value, and multiplying balanced data by
         # +-1 stays balanced — skip the Fermat inverses AND the normalize
         # pass (~0.6 s at 20M pivot-block nnz)
-        Upart.data = Upart.data * piv_vals[row_of_entry]
+        scales, norm = piv_vals, False
     else:
-        scales = f.inv(piv_vals)
-        Upart.data = f.normalize(Upart.data * scales[row_of_entry])
+        scales, norm = f.inv(piv_vals), True
+    if scale_rows_native(f, Upart, scales, norm) is None:
+        row_of_entry = np.repeat(np.arange(npiv), np.diff(Upart.indptr))
+        if norm:
+            Upart.data = f.normalize(Upart.data * scales[row_of_entry])
+        else:
+            Upart.data = Upart.data * scales[row_of_entry]
     # New-block levels are self-contained: S rows already have zeros at
     # all earlier pivot columns, so cross-block edges cannot exist here.
     levels_blk = compute_levels(Upart, pcols)
     rest_mask = np.ones(S.shape[0], bool)
     rest_mask[prows] = False
     rest_rows = np.flatnonzero(rest_mask)
-    S_rest = S[rest_rows]
+    S_rest = gather_rows_native(S, rest_rows)
+    if S_rest is None:
+        S_rest = S[rest_rows]
     est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
     return est, S_rest, rest_rows, (Upart, piv_vals, levels_blk)
 
@@ -695,6 +705,14 @@ def schur_estimate_density(f: Field, U_sp, piv_cols, levels, S_rest,
         sample = S_rest[np.sort(rows)]
     piv_cols = np.asarray(piv_cols, np.int64)
     r = U_sp.shape[0]
+    # native per-row heap cascade (csrc/cascade_mod.c): exact elimination
+    # against a triangular basis is unique, so the count matches the
+    # closure+wave path below entry for entry
+    from .native import cascade_nnz_native
+
+    out_nnz = cascade_nnz_native(f, sp.csr_matrix(sample), U_sp, piv_cols)
+    if out_nnz is not None:
+        return out_nnz / max(1, sample.shape[0] * m)
     if r > 4 * samples:
         pc_of_col = np.full(m, -1, np.int64)
         pc_of_col[piv_cols] = np.arange(r)

@@ -129,12 +129,29 @@ def mutual_reduce(f: Field, U_sp, piv_cols, levels,
     if depth <= 1:
         return U_sp, True
     order = np.argsort(levels, kind="stable")  # rows sorted by level
-    W = sp.csr_matrix(U_sp)[order]
     lev_sorted = levels[order]
     pc_sorted = piv_cols[order]
     offs = np.searchsorted(lev_sorted, np.arange(depth + 1))
     nnz_cap = (None if fill_cap is None
                else max(1024, int(fill_cap * max(1, U_sp.nnz))))
+    # one-call kernel (csrc/mutual_mod.c): each row finalized exactly once
+    # against already-final higher-level rows; the level permutation is
+    # applied inside the kernel on read and undone on write, so neither
+    # the sorted gather of U nor the inverse gather of the (bigger)
+    # result is ever materialized.  The per-level sweep below is the
+    # fallback (and the reference for the bit-identical equivalence test).
+    from .native import mutual_reduce_native
+
+    U_csr = sp.csr_matrix(U_sp)
+    qinv_glob = np.full(m, -1, np.int64)
+    qinv_glob[pc_sorted] = np.arange(r)
+    out = mutual_reduce_native(f, U_csr, qinv_glob, offs, depth, nnz_cap,
+                               rowperm=order)
+    if out is False:
+        return U_sp, False
+    if out is not None:
+        return out, True
+    W = U_csr[order]
     # backward sweep: once level t is final, reduce all lower levels
     # against it in one product.  The active prefix shrinks every sweep;
     # finalized level blocks are stacked ONCE at the end (a per-sweep

@@ -560,3 +560,176 @@ def schur_update_ranged_native(f, Pp, Pj, Px, q, m, qinv, klo, khi):
         lib.spasm_tpu_free(out_j)
         lib.spasm_tpu_free(out_x)
     return outp, indices, data
+
+
+def _configure_mutual(lib):
+    fn = lib.spasm_tpu_mutual_reduce
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                   ctypes.c_int64,
+                   _I64P, _I32P, _I64P,
+                   _I64P, _I64P, ctypes.c_int64,
+                   ctypes.c_int64, _I64P,
+                   _I64P,
+                   ctypes.POINTER(_I32P), ctypes.POINTER(_I64P)]
+    lib.spasm_tpu_mr_free.restype = None
+    lib.spasm_tpu_mr_free.argtypes = [ctypes.c_void_p]
+
+
+def mutual_reduce_native(f, W, qinv, offs, depth, nnz_cap, rowperm=None):
+    """Full mutual reduction (block RREF) of the ordered pivot block W in
+    ONE native call (csrc/mutual_mod.c): each row finalized exactly once
+    against already-final higher-level rows, instead of the per-level
+    prefix rewrite of the ranged sweep.  qinv[j] = level-sorted row index
+    owning column j (or -1); offs = level offsets (depth+1).  With
+    rowperm given (level-sorted position -> W row), W itself stays in its
+    original row order: the kernel permutes on read and emits the result
+    back in original order (no gather in, no inverse gather out).
+    Returns a canonical scipy csr, False on fill-cap blow-up, or None
+    when the native library is unavailable (callers fall back)."""
+    import scipy.sparse as sp
+
+    lib = _load("mutual_mod", _configure_mutual, extra_flags=("-fopenmp",))
+    if lib is None:
+        return None
+    pw = _csr_parts(W)
+    if pw is None:
+        return None
+    r, m = W.shape
+    qinv = np.ascontiguousarray(qinv, dtype=np.int64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    halfp = f.halfp
+    safe_t = (1 << 62) // max(1, halfp * halfp)
+    # terms per output <= 1 + hits(row) <= 1 + max row nnz of W (each
+    # referenced FINAL row contributes one product per output column)
+    max_terms = 2 + int(np.diff(pw[0]).max(initial=0))
+    reduce_each = 0 if max_terms < safe_t else 1
+    outp = np.zeros(r + 1, dtype=np.int64)
+    out_j = _I32P()
+    out_x = _I64P()
+    if rowperm is not None:
+        rowperm = np.ascontiguousarray(rowperm, dtype=np.int64)
+        perm_p = rowperm.ctypes.data_as(_I64P)
+    else:
+        perm_p = None
+    total = lib.spasm_tpu_mutual_reduce(
+        r, m, f.p, reduce_each,
+        pw[0].ctypes.data_as(_I64P), pw[1].ctypes.data_as(_I32P),
+        pw[2].ctypes.data_as(_I64P),
+        qinv.ctypes.data_as(_I64P), offs.ctypes.data_as(_I64P),
+        depth, nnz_cap if nnz_cap is not None else 0, perm_p,
+        outp.ctypes.data_as(_I64P),
+        ctypes.byref(out_j), ctypes.byref(out_x))
+    if total == -2:
+        return False
+    if total < 0:
+        return None
+    try:
+        indices = np.ctypeslib.as_array(out_j, shape=(max(total, 1),))[
+            :total].astype(np.int32, copy=True)
+        data = np.ctypeslib.as_array(out_x, shape=(max(total, 1),))[
+            :total].copy()
+    finally:
+        lib.spasm_tpu_mr_free(out_j)
+        lib.spasm_tpu_mr_free(out_x)
+    D = sp.csr_matrix((data, indices, outp), shape=(r, m))
+    D.has_sorted_indices = True
+    return D
+
+
+def _configure_cascade(lib):
+    fn = lib.spasm_tpu_cascade_nnz
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                   ctypes.c_int64,
+                   _I64P, _I32P, _I64P,
+                   _I64P, _I32P, _I64P,
+                   _I64P, _I64P]
+
+
+def cascade_nnz_native(f, sample, U, piv_cols):
+    """Total surviving nnz of the sample rows eliminated against the
+    ordered pivot block U (unit pivots, append invariant) via the per-row
+    heap cascade (csrc/cascade_mod.c) — the Schur density estimator's
+    engine.  Returns the count, or None when unavailable."""
+    lib = _load("cascade_mod", _configure_cascade)
+    if lib is None:
+        return None
+    ps = _csr_parts(sample)
+    pu = _csr_parts(U)
+    if ps is None or pu is None:
+        return None
+    r = U.shape[0]
+    m = U.shape[1]
+    piv_cols = np.ascontiguousarray(piv_cols, dtype=np.int64)
+    qinv = np.full(m, -1, np.int64)
+    qinv[piv_cols] = np.arange(r)
+    total = lib.spasm_tpu_cascade_nnz(
+        sample.shape[0], m, r, f.p,
+        ps[0].ctypes.data_as(_I64P), ps[1].ctypes.data_as(_I32P),
+        ps[2].ctypes.data_as(_I64P),
+        pu[0].ctypes.data_as(_I64P), pu[1].ctypes.data_as(_I32P),
+        pu[2].ctypes.data_as(_I64P),
+        qinv.ctypes.data_as(_I64P), piv_cols.ctypes.data_as(_I64P))
+    if total < 0:
+        return None
+    return int(total)
+
+
+def _configure_rowops(lib):
+    fn = lib.spasm_tpu_gather_rows
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_int64, _I64P,
+                   _I64P, _I32P, _I64P,
+                   _I64P, _I32P, _I64P]
+    fn2 = lib.spasm_tpu_scale_rows
+    fn2.restype = None
+    fn2.argtypes = [ctypes.c_int64, _I64P, _I64P, _I64P,
+                    ctypes.c_int64, ctypes.c_int64]
+
+
+def gather_rows_native(S, rows):
+    """S[rows] as a fresh canonical csr via the OpenMP row gather
+    (csrc/rowops_mod.c), or None when unavailable."""
+    import scipy.sparse as sp
+
+    lib = _load("rowops_mod", _configure_rowops, extra_flags=("-fopenmp",))
+    if lib is None:
+        return None
+    ps = _csr_parts(S)
+    if ps is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    nr = rows.shape[0]
+    lens = ps[0][rows + 1] - ps[0][rows]
+    total = int(lens.sum())
+    outp = np.zeros(nr + 1, dtype=np.int64)
+    out_j = np.empty(max(total, 1), dtype=np.int32)
+    out_x = np.empty(max(total, 1), dtype=np.int64)
+    lib.spasm_tpu_gather_rows(
+        nr, rows.ctypes.data_as(_I64P),
+        ps[0].ctypes.data_as(_I64P), ps[1].ctypes.data_as(_I32P),
+        ps[2].ctypes.data_as(_I64P),
+        outp.ctypes.data_as(_I64P), out_j.ctypes.data_as(_I32P),
+        out_x.ctypes.data_as(_I64P))
+    D = sp.csr_matrix((out_x[:total], out_j[:total], outp),
+                      shape=(nr, S.shape[1]))
+    D.has_sorted_indices = S.has_sorted_indices
+    return D
+
+
+def scale_rows_native(f, A, scale, normalize):
+    """In-place A.data[row slice] *= scale[row] (csrc/rowops_mod.c);
+    balanced mod-p when normalize, raw product otherwise (the +-1 fast
+    path).  A.data must be int64.  Returns True, or None when
+    unavailable (caller falls back to the numpy repeat/gather)."""
+    lib = _load("rowops_mod", _configure_rowops, extra_flags=("-fopenmp",))
+    if lib is None or A.data.dtype != np.int64 or not A.data.flags.c_contiguous:
+        return None
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    scale = np.ascontiguousarray(scale, dtype=np.int64)
+    lib.spasm_tpu_scale_rows(
+        A.shape[0], indptr.ctypes.data_as(_I64P),
+        A.data.ctypes.data_as(_I64P), scale.ctypes.data_as(_I64P),
+        f.p, 1 if normalize else 0)
+    return True

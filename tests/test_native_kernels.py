@@ -230,3 +230,96 @@ def test_gplu_sequential_scales_dense_cored():
     res = eliminate_csr(f, fact.U, fact.piv_cols, A)
     assert res.nnz == 0
     assert wall < 60, f"dense-cored GPLU took {wall:.1f}s"
+
+
+def test_mutual_reduce_one_call_matches_ranged_sweep(monkeypatch):
+    """The one-call kernel (csrc/mutual_mod.c: every row finalized once
+    against already-final higher-level rows, permutation applied in the
+    kernel) must be bit-identical to the per-level ranged sweep it
+    replaced, across small and >2^31 primes (reduce_each both ways)."""
+    if N._load("mutual_mod", N._configure_mutual,
+               extra_flags=("-fopenmp",)) is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(5)
+    for p in (42013, 3, 2147483629, 4294967291):
+        f = field(p)
+        for _ in range(4):
+            U, pc = _random_pivot_block(rng, f)
+            levels = E.compute_levels(SparseGFp.from_scipy(U, f.p), pc)
+            got, ok1 = E.mutual_reduce(f, U, pc, levels, fill_cap=None)
+            monkeypatch.setattr(N, "mutual_reduce_native",
+                                lambda *a, **k: None)
+            ref, ok2 = E.mutual_reduce(f, U, pc, levels, fill_cap=None)
+            monkeypatch.undo()
+            assert ok1 == ok2
+            got, ref = sp.csr_matrix(got), sp.csr_matrix(ref)
+            assert np.array_equal(got.indptr, ref.indptr)
+            assert np.array_equal(got.indices, ref.indices)
+            assert np.array_equal(np.asarray(got.data),
+                                  np.asarray(ref.data))
+
+
+def test_cascade_estimator_matches_wave_path(monkeypatch):
+    """csrc/cascade_mod.c (per-row heap cascade) must count exactly the
+    same surviving nnz as the closure+wave Monte-Carlo path — exact
+    elimination against a triangular basis is unique."""
+    import importlib
+
+    ECH = importlib.import_module("spasm_tpu.echelonize")
+    from spasm_tpu.pivots import find_structural_pivots
+
+    if N._load("cascade_mod", N._configure_cascade) is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(11)
+    for p in (42013, 2147483629):
+        f = field(p)
+        A = SparseGFp.rand(f, 250, 220, 0.03, rng)
+        prows, pcols, _ = find_structural_pivots(A)
+        S = A.to_scipy().astype(np.int64)
+        Up = sp.csr_matrix(S[prows])
+        npiv = prows.size
+        vals = np.asarray(
+            Up[np.arange(npiv), pcols]).ravel().astype(np.int64)
+        row_of = np.repeat(np.arange(npiv), np.diff(Up.indptr))
+        Up.data = f.normalize(Up.data * f.inv(vals)[row_of])
+        levels = E.compute_levels(Up, pcols)
+        rest = np.setdiff1d(np.arange(250), prows)
+        S_rest = sp.csr_matrix(S[rest])
+        e1 = ECH.schur_estimate_density(f, Up, pcols, levels, S_rest)
+        monkeypatch.setattr(N, "cascade_nnz_native", lambda *a, **k: None)
+        e2 = ECH.schur_estimate_density(f, Up, pcols, levels, S_rest)
+        monkeypatch.undo()
+        assert e1 == e2
+
+
+def test_gather_and_scale_rows_native():
+    """csrc/rowops_mod.c: parallel row gather == scipy fancy-index; row
+    scale == the repeat/gather product (both +-1 raw and normalized)."""
+    if N._load("rowops_mod", N._configure_rowops,
+               extra_flags=("-fopenmp",)) is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(3)
+    f = field(42013)
+    A = SparseGFp.rand(f, 400, 300, 0.02, rng).to_scipy().astype(np.int64)
+    A.sort_indices()
+    rows = rng.permutation(400)[:173]
+    got = N.gather_rows_native(A, rows)
+    ref = sp.csr_matrix(A[rows])
+    assert got is not None
+    assert np.array_equal(got.indptr, ref.indptr)
+    assert np.array_equal(got.indices, ref.indices)
+    assert np.array_equal(np.asarray(got.data), np.asarray(ref.data))
+    # scale: normalized path
+    B = sp.csr_matrix(A[rows])
+    scales = f.normalize(rng.integers(1, f.p, size=B.shape[0]))
+    row_of = np.repeat(np.arange(B.shape[0]), np.diff(B.indptr))
+    ref_data = f.normalize(np.asarray(B.data) * scales[row_of])
+    C = B.copy()
+    assert N.scale_rows_native(f, C, scales, True) is True
+    assert np.array_equal(np.asarray(C.data), ref_data)
+    # +-1 raw path
+    signs = rng.choice(np.array([-1, 1], np.int64), size=B.shape[0])
+    ref_data = np.asarray(B.data) * signs[row_of]
+    D = B.copy()
+    assert N.scale_rows_native(f, D, signs, False) is True
+    assert np.array_equal(np.asarray(D.data), ref_data)
