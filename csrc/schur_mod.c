@@ -62,6 +62,60 @@ static inline void sort_touched(int32_t *a, int64_t n)
 /* returns total output nnz, or -1 on allocation failure.
  * outp: (q+1) int64 indptr (filled).
  * out_j / out_x: *one* malloc'd buffer each (caller frees). */
+/* interleaved sparse-accumulator cell: value + stamp share one 16-byte
+ * slot, so a random column update touches ONE cache line instead of two
+ * (separate x[]/stamp[] arrays cost two misses per update — measured
+ * ~25% of the d9 headline's Schur kernel wall) */
+typedef struct {
+    int64_t val;
+    int64_t stamp;
+} spa_cell;
+
+/* Persistent per-OS-thread SPA arena.  A kernel call on q rows previously
+ * malloc'd + stamp-initialized O(m) scratch per thread — ~0.1 s per call
+ * at m ~ 3M, which dominated flows made of many SMALL calls (the
+ * certificate's 1-row triangular waves: 35 calls).  The arena survives
+ * across calls; stamps are never re-initialized because row tags come
+ * from a monotonically increasing per-arena counter (a stale stamp from
+ * any earlier call is strictly smaller than every new tag).  OpenMP
+ * reuses its worker threads across parallel regions, so __thread storage
+ * gives each worker a stable private arena. */
+typedef struct {
+    spa_cell *spa;
+    int32_t *touched;
+    int64_t cap;
+    int64_t next_tag;
+} spa_arena;
+
+static __thread spa_arena g_arena = {0, 0, 0, 0};
+
+/* returns the SPA (cap >= m) and a fresh tag base for q rows, or NULL on
+ * allocation failure.  Stale stamps are < *tag0 by construction. */
+static spa_cell *arena_get(int64_t m, int64_t q,
+                           int32_t **touched, int64_t *tag0)
+{
+    if (g_arena.cap < m) {
+        free(g_arena.spa);
+        free(g_arena.touched);
+        g_arena.spa = (spa_cell *)malloc(sizeof(spa_cell) * (size_t)m);
+        g_arena.touched = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
+        if (!g_arena.spa || !g_arena.touched) {
+            free(g_arena.spa); free(g_arena.touched);
+            g_arena.spa = NULL; g_arena.touched = NULL;
+            g_arena.cap = 0;
+            return NULL;
+        }
+        g_arena.cap = m;
+        g_arena.next_tag = 0;
+        for (int64_t j = 0; j < m; j++)
+            g_arena.spa[j].stamp = -1;
+    }
+    *tag0 = g_arena.next_tag;
+    g_arena.next_tag += q;
+    *touched = g_arena.touched;
+    return g_arena.spa;
+}
+
 int64_t spasm_tpu_schur_update(
     int64_t q, int64_t m, int64_t P, int64_t reduce_each,
     const int64_t *Bp, const int32_t *Bj, const int64_t *Bx,
@@ -121,10 +175,9 @@ int64_t spasm_tpu_schur_update(
 #endif
         if (!fail) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
-            /* sparse accumulator */
-            int64_t *x = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
-            int64_t *stamp = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
-            int32_t *touched = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
+            int32_t *touched;
+            int64_t tag0;
+            spa_cell *spa = arena_get(m, r1 - r0, &touched, &tag0);
             int64_t cap = 1024;
             for (int64_t i = r0; i < r1; i++) {
                 int64_t w = Bp[i + 1] - Bp[i];
@@ -134,21 +187,21 @@ int64_t spasm_tpu_schur_update(
             }
             int32_t *oj = (int32_t *)malloc(sizeof(int32_t) * (size_t)cap);
             int64_t *ox = (int64_t *)malloc(sizeof(int64_t) * (size_t)cap);
-            if (!x || !stamp || !touched || !oj || !ox) {
+            if (!spa || !oj || !ox) {
 #pragma omp atomic write
                 fail = 1;
             } else {
-                memset(stamp, 0xff, sizeof(int64_t) * (size_t)m);
                 int64_t nout = 0;
                 for (int64_t i = r0; i < r1; i++) {
+                    const int64_t tag = tag0 + (i - r0);
                     int64_t ntouch = 0;
                     for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
                         int32_t j = Bj[t];
-                        if (stamp[j] != i) {
-                            stamp[j] = i; x[j] = 0;
+                        if (spa[j].stamp != tag) {
+                            spa[j].stamp = tag; spa[j].val = 0;
                             touched[ntouch++] = j;
                         }
-                        x[j] += Bx[t];
+                        spa[j].val += Bx[t];
                     }
                     for (int64_t t = Cp[i]; t < Cp[i + 1]; t++) {
                         int32_t k = Cj[t];
@@ -156,33 +209,31 @@ int64_t spasm_tpu_schur_update(
                         if (reduce_each) {
                             for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
                                 int32_t j = Uj[u];
-                                if (stamp[j] != i) {
-                                    stamp[j] = i; x[j] = 0;
+                                if (spa[j].stamp != tag) {
+                                    spa[j].stamp = tag; spa[j].val = 0;
                                     touched[ntouch++] = j;
                                 }
-                                x[j] = balanced(x[j] - c * Ux[u], P, halfp);
+                                spa[j].val = balanced(
+                                    spa[j].val - c * Ux[u], P, halfp);
                             }
                         } else {
                             for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
                                 int32_t j = Uj[u];
-                                if (stamp[j] != i) {
-                                    stamp[j] = i; x[j] = 0;
+                                if (spa[j].stamp != tag) {
+                                    spa[j].stamp = tag; spa[j].val = 0;
                                     touched[ntouch++] = j;
                                 }
-                                x[j] -= c * Ux[u];
+                                spa[j].val -= c * Ux[u];
                             }
                         }
                     }
                     /* deterministic output: sort touched column list */
-                    /* insertion would be O(t^2); rows touch few columns in
-                       sparse regimes but can be wide after fill — use a
-                       simple qsort on the touched slice */
                     if (ntouch > 1)
                         sort_touched(touched, ntouch);
                     int64_t row_start = nout;
                     for (int64_t t = 0; t < ntouch; t++) {
                         int32_t j = touched[t];
-                        int64_t v = balanced(x[j], P, halfp);
+                        int64_t v = balanced(spa[j].val, P, halfp);
                         if (v) { oj[nout] = j; ox[nout] = v; nout++; }
                     }
                     outp[i + 1] = nout - row_start; /* counts; prefixed later */
@@ -190,7 +241,6 @@ int64_t spasm_tpu_schur_update(
                 tj[tid] = oj; tx[tid] = ox; tn[tid] = nout;
                 oj = NULL; ox = NULL;
             }
-            free(x); free(stamp); free(touched);
             if (oj) free(oj);
             if (ox) free(ox);
         }
@@ -302,9 +352,9 @@ int64_t spasm_tpu_schur_update_ranged(
 #endif
         if (!fail) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
-            int64_t *x = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
-            int64_t *stamp = (int64_t *)malloc(sizeof(int64_t) * (size_t)m);
-            int32_t *touched = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
+            int32_t *touched;
+            int64_t tag0;
+            spa_cell *spa = arena_get(m, r1 - r0, &touched, &tag0);
             int64_t cap = 1024;
             for (int64_t i = r0; i < r1; i++) {
                 int64_t w = Bp[i + 1] - Bp[i];
@@ -317,21 +367,21 @@ int64_t spasm_tpu_schur_update_ranged(
             }
             int32_t *oj = (int32_t *)malloc(sizeof(int32_t) * (size_t)cap);
             int64_t *ox = (int64_t *)malloc(sizeof(int64_t) * (size_t)cap);
-            if (!x || !stamp || !touched || !oj || !ox) {
+            if (!spa || !oj || !ox) {
 #pragma omp atomic write
                 fail = 1;
             } else {
-                memset(stamp, 0xff, sizeof(int64_t) * (size_t)m);
                 int64_t nout = 0;
                 for (int64_t i = r0; i < r1; i++) {
+                    const int64_t tag = tag0 + (i - r0);
                     int64_t ntouch = 0;
                     for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
                         int32_t j = Bj[t];
-                        if (stamp[j] != i) {
-                            stamp[j] = i; x[j] = 0;
+                        if (spa[j].stamp != tag) {
+                            spa[j].stamp = tag; spa[j].val = 0;
                             touched[ntouch++] = j;
                         }
-                        x[j] += Bx[t];
+                        spa[j].val += Bx[t];
                     }
                     for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
                         int64_t k = qinv[Bj[t]];
@@ -341,20 +391,21 @@ int64_t spasm_tpu_schur_update_ranged(
                         if (reduce_each) {
                             for (int64_t u = Bp[k]; u < Bp[k + 1]; u++) {
                                 int32_t j = Bj[u];
-                                if (stamp[j] != i) {
-                                    stamp[j] = i; x[j] = 0;
+                                if (spa[j].stamp != tag) {
+                                    spa[j].stamp = tag; spa[j].val = 0;
                                     touched[ntouch++] = j;
                                 }
-                                x[j] = balanced(x[j] - c * Bx[u], P, halfp);
+                                spa[j].val = balanced(
+                                    spa[j].val - c * Bx[u], P, halfp);
                             }
                         } else {
                             for (int64_t u = Bp[k]; u < Bp[k + 1]; u++) {
                                 int32_t j = Bj[u];
-                                if (stamp[j] != i) {
-                                    stamp[j] = i; x[j] = 0;
+                                if (spa[j].stamp != tag) {
+                                    spa[j].stamp = tag; spa[j].val = 0;
                                     touched[ntouch++] = j;
                                 }
-                                x[j] -= c * Bx[u];
+                                spa[j].val -= c * Bx[u];
                             }
                         }
                     }
@@ -363,7 +414,7 @@ int64_t spasm_tpu_schur_update_ranged(
                     int64_t row_start = nout;
                     for (int64_t t = 0; t < ntouch; t++) {
                         int32_t j = touched[t];
-                        int64_t v = balanced(x[j], P, halfp);
+                        int64_t v = balanced(spa[j].val, P, halfp);
                         if (v) { oj[nout] = j; ox[nout] = v; nout++; }
                     }
                     outp[i + 1] = nout - row_start;
@@ -371,7 +422,6 @@ int64_t spasm_tpu_schur_update_ranged(
                 tj[tid] = oj; tx[tid] = ox; tn[tid] = nout;
                 oj = NULL; ox = NULL;
             }
-            free(x); free(stamp); free(touched);
             if (oj) free(oj);
             if (ox) free(ox);
         }
@@ -405,15 +455,6 @@ int64_t spasm_tpu_schur_update_ranged(
     *out_x_ret = all_x;
     return total;
 }
-
-/* interleaved sparse-accumulator cell: value + stamp share one 16-byte
- * slot, so a random column update touches ONE cache line instead of two
- * (separate x[]/stamp[] arrays cost two misses per update — measured
- * ~25% of the d9 headline's Schur kernel wall) */
-typedef struct {
-    int64_t val;
-    int64_t stamp;
-} spa_cell;
 
 /* qinv-driven variant against a SEPARATE (mutually reduced) pivot block:
  * D = B - B[:, piv_cols] @ U where the coefficient of B row i against U
@@ -481,8 +522,9 @@ int64_t spasm_tpu_schur_update_qinv(
 #endif
         if (!fail) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
-            spa_cell *spa = (spa_cell *)malloc(sizeof(spa_cell) * (size_t)m);
-            int32_t *touched = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
+            int32_t *touched;
+            int64_t tag0;
+            spa_cell *spa = arena_get(m, r1 - r0, &touched, &tag0);
             int64_t cap = 1024;
             for (int64_t i = r0; i < r1; i++) {
                 int64_t w = Bp[i + 1] - Bp[i];
@@ -495,19 +537,18 @@ int64_t spasm_tpu_schur_update_qinv(
             }
             int32_t *oj = (int32_t *)malloc(sizeof(int32_t) * (size_t)cap);
             int64_t *ox = (int64_t *)malloc(sizeof(int64_t) * (size_t)cap);
-            if (!spa || !touched || !oj || !ox) {
+            if (!spa || !oj || !ox) {
 #pragma omp atomic write
                 fail = 1;
             } else {
-                for (int64_t j = 0; j < m; j++)
-                    spa[j].stamp = -1;
                 int64_t nout = 0;
                 for (int64_t i = r0; i < r1; i++) {
+                    const int64_t tag = tag0 + (i - r0);
                     int64_t ntouch = 0;
                     for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
                         int32_t j = Bj[t];
-                        if (spa[j].stamp != i) {
-                            spa[j].stamp = i; spa[j].val = 0;
+                        if (spa[j].stamp != tag) {
+                            spa[j].stamp = tag; spa[j].val = 0;
                             touched[ntouch++] = j;
                         }
                         spa[j].val += Bx[t];
@@ -520,8 +561,8 @@ int64_t spasm_tpu_schur_update_qinv(
                         if (reduce_each) {
                             for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
                                 int32_t j = Uj[u];
-                                if (spa[j].stamp != i) {
-                                    spa[j].stamp = i; spa[j].val = 0;
+                                if (spa[j].stamp != tag) {
+                                    spa[j].stamp = tag; spa[j].val = 0;
                                     touched[ntouch++] = j;
                                 }
                                 spa[j].val = balanced(
@@ -530,8 +571,8 @@ int64_t spasm_tpu_schur_update_qinv(
                         } else {
                             for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
                                 int32_t j = Uj[u];
-                                if (spa[j].stamp != i) {
-                                    spa[j].stamp = i; spa[j].val = 0;
+                                if (spa[j].stamp != tag) {
+                                    spa[j].stamp = tag; spa[j].val = 0;
                                     touched[ntouch++] = j;
                                 }
                                 spa[j].val -= c * Ux[u];
@@ -551,7 +592,6 @@ int64_t spasm_tpu_schur_update_qinv(
                 tj[tid] = oj; tx[tid] = ox; tn[tid] = nout;
                 oj = NULL; ox = NULL;
             }
-            free(spa); free(touched);
             if (oj) free(oj);
             if (ox) free(ox);
         }

@@ -81,3 +81,76 @@ int64_t spasm_tpu_parse_sms(const char *buf, int64_t len, int64_t *header,
     }
     return count;
 }
+
+/* ---- SMS writer: "i+1 j+1 v\n" lines for COO triples ----
+ *
+ * Native replacement for the Python-side serialization (io.py dumps_sms):
+ * np.char string building cost 161 s at 53M nnz; the two-pass scheme here
+ * (exact digit-count lengths -> prefix offsets -> parallel in-place
+ * formatting) runs at memory speed.  The byte output is identical, so
+ * matrix_hash (SHA-256 of the SMS serialization, the certificate
+ * transcript anchor, src/SpaSM.jl:928-936) is unchanged. */
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+static inline int sms_ndigits(int64_t x)
+{
+    int n = x < 0 ? 2 : 1;
+    uint64_t u = x < 0 ? (uint64_t) (-(x + 1)) + 1 : (uint64_t) x;
+    while (u >= 10) {
+        u /= 10;
+        n++;
+    }
+    return n;
+}
+
+static inline char *sms_write_i64(char *p, int64_t x)
+{
+    if (x < 0)
+        *p++ = '-';
+    uint64_t u = x < 0 ? (uint64_t) (-(x + 1)) + 1 : (uint64_t) x;
+    char tmp[20];
+    int n = 0;
+    do {
+        tmp[n++] = (char) ('0' + (u % 10));
+        u /= 10;
+    } while (u);
+    while (n)
+        *p++ = tmp[--n];
+    return p;
+}
+
+/* lens[e] = byte length of line e ("(i+1) (j+1) v\n").  Returns total. */
+int64_t spasm_tpu_sms_lengths(
+    int64_t nnz, const int64_t *I, const int64_t *J, const int64_t *V,
+    int64_t *lens)
+{
+    int64_t total = 0;
+#pragma omp parallel for schedule(static) reduction(+:total)
+    for (int64_t e = 0; e < nnz; e++) {
+        int64_t l = sms_ndigits(I[e] + 1) + sms_ndigits(J[e] + 1)
+            + sms_ndigits(V[e]) + 3;
+        lens[e] = l;
+        total += l;
+    }
+    return total;
+}
+
+/* offs[e] = start offset of line e (exclusive prefix of lens). */
+void spasm_tpu_sms_fill(
+    int64_t nnz, const int64_t *I, const int64_t *J, const int64_t *V,
+    const int64_t *offs, char *buf)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < nnz; e++) {
+        char *p = buf + offs[e];
+        p = sms_write_i64(p, I[e] + 1);
+        *p++ = ' ';
+        p = sms_write_i64(p, J[e] + 1);
+        *p++ = ' ';
+        p = sms_write_i64(p, V[e]);
+        *p++ = '\n';
+    }
+}

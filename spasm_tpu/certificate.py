@@ -71,7 +71,10 @@ class SpasmPRNG:
             i += 1
         self.mask = (1 << i) - 1
         self.counter = 0
-        self.buf: list[int] = []
+        # unconsumed stream words, FIFO (ndarray: a Python int list cost
+        # >1 s per certificate when millions of drawn words were pushed
+        # back after a vector draw)
+        self.buf: np.ndarray = np.zeros(0, np.uint64)
 
     @classmethod
     def simple(cls, prime: int, seed: int, seq: int = 0):
@@ -86,12 +89,16 @@ class SpasmPRNG:
         digest = hashlib.sha256(block).digest()
         self.counter += 1
         # hash[8] state words == big-endian digest words
-        self.buf.extend(struct.unpack(">8I", digest))
+        self.buf = np.concatenate(
+            [self.buf,
+             np.array(struct.unpack(">8I", digest), np.uint64)])
 
     def u32(self) -> int:
-        if not self.buf:
+        if not self.buf.size:
             self._refill()
-        return self.buf.pop(0)
+        w = int(self.buf[0])
+        self.buf = self.buf[1:]
+        return w
 
     def zzp(self) -> int:
         """Uniform field element, balanced representation."""
@@ -103,6 +110,14 @@ class SpasmPRNG:
 
     def _block_words(self, nblocks: int) -> np.ndarray:
         """The next nblocks*8 u32 words of the counter-mode stream."""
+        from .native import prng_blocks_native
+
+        words = prng_blocks_native(self.seed, self.prime & 0xFFFFFFFF,
+                                   self.seq & 0xFFFFFFFF, self.counter,
+                                   nblocks)
+        if words is not None:  # csrc/prng_mod.c — hashlib-equivalence
+            self.counter += nblocks  # tested; ~1.8M hashlib calls -> 1 call
+            return words.astype(np.uint64)
         pack = struct.pack
         sha = hashlib.sha256
         seed = self.seed
@@ -127,12 +142,15 @@ class SpasmPRNG:
         mask = self.mask
         while filled < k:
             need = k - filled
-            if self.buf:
-                words = np.asarray(self.buf, dtype=np.uint64)
-                self.buf = []
+            if self.buf.size:
+                words = self.buf
+                self.buf = np.zeros(0, np.uint64)
             else:
-                # acceptance rate = p / (mask + 1) > 1/2; 2.2x margin
-                nblocks = max(1, -(-int(need * 2.2) // 8))
+                # acceptance rate = p / (mask + 1) > 1/2; 5% margin on
+                # the exact expected draw count
+                acc_rate = self.prime / (self.mask + 1)
+                nwords = int(need / acc_rate * 1.05) + 8
+                nblocks = max(1, -(-nwords // 8))
                 words = self._block_words(nblocks)
             masked = words & np.uint64(mask)
             acc = masked < np.uint64(p)
@@ -145,7 +163,7 @@ class SpasmPRNG:
                 # push unconsumed words (everything after the k-th
                 # acceptance) back for subsequent scalar/vector draws
                 last_word = np.flatnonzero(acc)[take - 1]
-                self.buf = [int(w) for w in words[last_word + 1:]]
+                self.buf = words[last_word + 1:].astype(np.uint64)
         return out
 
 

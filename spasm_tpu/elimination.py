@@ -238,16 +238,27 @@ def eliminate_against_reduced(f: Field, Ustar, piv_cols, B_sp,
     if r == 0:
         return B, (sp.csr_matrix((q, 0), dtype=np.int64)
                    if record_coeffs else None)
-    if not record_coeffs:
-        # coefficient-free path: the qinv-driven C kernel reads each
-        # coefficient off B itself, skipping the O(nnz) column gather
-        from .native import schur_update_qinv_native
+    # the qinv-driven C kernel reads each coefficient off B itself,
+    # skipping the O(nnz) scipy column slice; with record_coeffs the
+    # coefficient matrix is exactly B's values at the pivot columns
+    # (C[i, k] = B[i, pivcol(k)]), built vectorized off the hit mask
+    from .native import schur_update_qinv_native
 
-        qinv = np.full(B.shape[1], -1, np.int64)
-        qinv[piv_cols] = np.arange(r)
-        D = schur_update_qinv_native(f, B, qinv, sp.csr_matrix(Ustar))
-        if D is not None:
-            return D, None
+    qinv = np.full(B.shape[1], -1, np.int64)
+    qinv[piv_cols] = np.arange(r)
+    D = schur_update_qinv_native(f, B, qinv, sp.csr_matrix(Ustar))
+    if D is not None:
+        C = None
+        if record_coeffs:
+            k = qinv[B.indices]
+            mask = k >= 0
+            rows = np.repeat(np.arange(q, dtype=np.int64),
+                             np.diff(B.indptr))
+            C = sp.csr_matrix(
+                (np.asarray(B.data)[mask],
+                 (rows[mask], k[mask].astype(np.int64))),
+                shape=(q, r), dtype=np.int64)
+        return D, C
     C = sp.csr_matrix(B[:, piv_cols])
     if C.nnz:
         B = _schur_update(f, B, C, sp.csr_matrix(Ustar))
@@ -289,6 +300,16 @@ def wave_eliminate(f: Field, U_sp, piv_cols, levels, B_sp,
         return B, (sp.csr_matrix((q, 0), dtype=np.int64)
                    if record_coeffs else None)
     depth = int(levels.max()) + 1
+    if q <= 8 and depth > 1:
+        # few-row case (triangular solves of single vectors, certificate
+        # transcripts): the per-row heap cascade avoids depth kernel
+        # launches and per-level O(m) sorts (csrc/cascade_mod.c)
+        from .native import cascade_eliminate_native
+
+        out = cascade_eliminate_native(f, B, sp.csr_matrix(U_sp), piv_cols)
+        if out is not None:
+            D, C = out
+            return D, (C if record_coeffs else None)
     for t in range(depth):
         kt = np.flatnonzero(levels == t)
         if kt.size == 0:

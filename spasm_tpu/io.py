@@ -104,13 +104,19 @@ def dumps_sms(mat) -> bytes:
     else:
         buf.write(f"{mat.n} {mat.m} M\n".encode())
         i, j, v = mat.to_coo()
-        lines = np.char.add(
-            np.char.add((i + 1).astype("U12"), " "),
-            np.char.add(np.char.add((j + 1).astype("U12"), " "),
-                        v.astype("U12")))
-        buf.write("\n".join(lines.tolist()).encode())
-        if i.size:
-            buf.write(b"\n")
+        from .native import format_sms_triples_native
+
+        body = format_sms_triples_native(i, j, v)
+        if body is not None:
+            buf.write(body)
+        else:
+            lines = np.char.add(
+                np.char.add((i + 1).astype("U12"), " "),
+                np.char.add(np.char.add((j + 1).astype("U12"), " "),
+                            v.astype("U12")))
+            buf.write("\n".join(lines.tolist()).encode())
+            if i.size:
+                buf.write(b"\n")
     buf.write(b"0 0 0\n")
     return buf.getvalue()
 

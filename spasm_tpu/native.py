@@ -68,7 +68,7 @@ def _configure_parser(lib):
 
 
 def get_lib():
-    return _load("sms_parser", _configure_parser)
+    return _load("sms_parser", _configure_parser, extra_flags=("-fopenmp",))
 
 
 def parse_sms_native(raw: bytes):
@@ -733,3 +733,146 @@ def scale_rows_native(f, A, scale, normalize):
         A.data.ctypes.data_as(_I64P), scale.ctypes.data_as(_I64P),
         f.p, 1 if normalize else 0)
     return True
+
+
+def _configure_sms_writer(lib):
+    fn = lib.spasm_tpu_sms_lengths
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_int64, _I64P, _I64P, _I64P, _I64P]
+    fn2 = lib.spasm_tpu_sms_fill
+    fn2.restype = None
+    fn2.argtypes = [ctypes.c_int64, _I64P, _I64P, _I64P, _I64P,
+                    ctypes.c_char_p]
+
+
+def format_sms_triples_native(i, j, v):
+    """SMS body '(i+1) (j+1) v\\n' per triple via the two-pass OpenMP
+    formatter (csrc/sms_parser.c writer) — byte-identical to the numpy
+    string path in io.dumps_sms (161 s -> ~2 s at 53M nnz).  Returns a
+    uint8 array (hashlib/BytesIO accept it zero-copy via memoryview), or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "spasm_tpu_sms_lengths"):
+        return None
+    if not hasattr(lib, "_writer_configured"):
+        _configure_sms_writer(lib)
+        lib._writer_configured = True
+    i = np.ascontiguousarray(i, dtype=np.int64)
+    j = np.ascontiguousarray(j, dtype=np.int64)
+    v = np.ascontiguousarray(v, dtype=np.int64)
+    nnz = i.shape[0]
+    lens = np.empty(nnz, dtype=np.int64)
+    total = lib.spasm_tpu_sms_lengths(
+        nnz, i.ctypes.data_as(_I64P), j.ctypes.data_as(_I64P),
+        v.ctypes.data_as(_I64P), lens.ctypes.data_as(_I64P))
+    offs = np.empty(nnz, dtype=np.int64)
+    if nnz:
+        offs[0] = 0
+        np.cumsum(lens[:-1], out=offs[1:])
+    buf = np.empty(int(total), dtype=np.uint8)
+    lib.spasm_tpu_sms_fill(
+        nnz, i.ctypes.data_as(_I64P), j.ctypes.data_as(_I64P),
+        v.ctypes.data_as(_I64P), offs.ctypes.data_as(_I64P),
+        buf.ctypes.data_as(ctypes.c_char_p))
+    return buf
+
+
+def _configure_cascade_elim(lib):
+    fn = lib.spasm_tpu_cascade_eliminate
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                   ctypes.c_int64,
+                   _I64P, _I32P, _I64P,
+                   _I64P, _I32P, _I64P,
+                   _I64P, _I64P,
+                   _I64P, ctypes.POINTER(_I32P), ctypes.POINTER(_I64P),
+                   _I64P, ctypes.POINTER(_I64P), ctypes.POINTER(_I64P)]
+    lib.spasm_tpu_casc_free.restype = None
+    lib.spasm_tpu_casc_free.argtypes = [ctypes.c_void_p]
+
+
+def cascade_eliminate_native(f, B, U, piv_cols):
+    """Few-row elimination of B against the ordered pivot block U (unit
+    pivots, append invariant) via the per-row heap cascade with
+    coefficient recording (csrc/cascade_mod.c): returns (D, C) with
+    D = B - C @ U (mod p, zeros at every pivot column), the same unique
+    decomposition wave_eliminate computes, without the per-level slicing
+    and O(m) sorts.  Returns None when unavailable."""
+    import scipy.sparse as sp
+
+    lib = _load("cascade_mod", _configure_cascade)
+    if lib is None:
+        return None
+    if not hasattr(lib, "_elim_configured"):
+        _configure_cascade_elim(lib)
+        lib._elim_configured = True
+    pb = _csr_parts(B)
+    pu = _csr_parts(U)
+    if pb is None or pu is None:
+        return None
+    q = B.shape[0]
+    r, m = U.shape
+    piv_cols = np.ascontiguousarray(piv_cols, dtype=np.int64)
+    qinv = np.full(m, -1, np.int64)
+    qinv[piv_cols] = np.arange(r)
+    res_p = np.zeros(q + 1, dtype=np.int64)
+    coef_p = np.zeros(q + 1, dtype=np.int64)
+    rjp = _I32P()
+    rxp = _I64P()
+    ckp = _I64P()
+    ccp = _I64P()
+    total = lib.spasm_tpu_cascade_eliminate(
+        q, m, r, f.p,
+        pb[0].ctypes.data_as(_I64P), pb[1].ctypes.data_as(_I32P),
+        pb[2].ctypes.data_as(_I64P),
+        pu[0].ctypes.data_as(_I64P), pu[1].ctypes.data_as(_I32P),
+        pu[2].ctypes.data_as(_I64P),
+        qinv.ctypes.data_as(_I64P), piv_cols.ctypes.data_as(_I64P),
+        res_p.ctypes.data_as(_I64P), ctypes.byref(rjp),
+        ctypes.byref(rxp),
+        coef_p.ctypes.data_as(_I64P), ctypes.byref(ckp),
+        ctypes.byref(ccp))
+    if total < 0:
+        return None
+    nc = int(coef_p[q])
+    try:
+        rj = np.ctypeslib.as_array(rjp, shape=(max(total, 1),))[
+            :total].astype(np.int32, copy=True)
+        rx = np.ctypeslib.as_array(rxp, shape=(max(total, 1),))[
+            :total].copy()
+        ck = np.ctypeslib.as_array(ckp, shape=(max(nc, 1),))[:nc].copy()
+        cc = np.ctypeslib.as_array(ccp, shape=(max(nc, 1),))[:nc].copy()
+    finally:
+        lib.spasm_tpu_casc_free(rjp)
+        lib.spasm_tpu_casc_free(rxp)
+        lib.spasm_tpu_casc_free(ckp)
+        lib.spasm_tpu_casc_free(ccp)
+    D = sp.csr_matrix((rx, rj, res_p), shape=(q, m))
+    D.has_sorted_indices = True
+    C = sp.csr_matrix((cc, ck.astype(np.int32), coef_p), shape=(q, r),
+                      dtype=np.int64)
+    C.has_sorted_indices = True
+    return D, C
+
+
+def _configure_prng(lib):
+    fn = lib.spasm_tpu_prng_blocks
+    fn.restype = None
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
+                   ctypes.c_uint64, ctypes.c_int64,
+                   ctypes.POINTER(ctypes.c_uint32)]
+
+
+def prng_blocks_native(seed, prime, seq, counter, nblocks):
+    """nblocks*8 SHA-256 counter-mode state words (csrc/prng_mod.c) —
+    bit-identical to hashlib over the 44-byte spasm_prng_ctx block
+    (certificate.py SpasmPRNG).  Returns a uint32 array, or None when
+    unavailable."""
+    lib = _load("prng_mod", _configure_prng, extra_flags=("-fopenmp",))
+    if lib is None:
+        return None
+    out = np.empty(nblocks * 8, dtype=np.uint32)
+    lib.spasm_tpu_prng_blocks(
+        bytes(seed), prime, seq, counter, nblocks,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out

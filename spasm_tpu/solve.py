@@ -185,13 +185,18 @@ def _prep_triangular_Lp(f: Field, Lp, order=None):
         order = np.asarray(order, np.int64)
         Lp = sp.csr_matrix(Lp)[order][:, order]
     M = sp.csr_matrix(Lp)
-    diag = np.asarray(M[np.arange(r), np.arange(r)]).ravel().astype(np.int64)
+    diag = M.diagonal().astype(np.int64)
     scales = f.inv(diag)
     row_of = np.repeat(np.arange(r), np.diff(M.indptr))
     M.data = f.normalize(M.data * scales[row_of])  # unit diagonal
     rev = np.arange(r - 1, -1, -1, dtype=np.int64)
     Mo = sp.csr_matrix(M)[rev]
-    Mw = SparseGFp.from_scipy(Mo, f.p)
+    # Mo's data is already normalized (balanced); an in-place per-row
+    # index sort (no-op when scipy's flag is set) is all that canonical
+    # form still needs — the full from_scipy canonicalization re-reduced
+    # every value (~1.8 s at d9's 26M-nnz L pivot block)
+    Mo.sort_indices()
+    Mw = SparseGFp.from_scipy(Mo, f.p, assume_canonical=True)
     levels = compute_levels(Mw, rev)
     return dict(Mo=Mo, rev=rev, levels=levels,
                 scales_u=f.to_unsigned(scales), order=order, r=r)

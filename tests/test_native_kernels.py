@@ -323,3 +323,42 @@ def test_gather_and_scale_rows_native():
     D = B.copy()
     assert N.scale_rows_native(f, D, signs, False) is True
     assert np.array_equal(np.asarray(D.data), ref_data)
+
+
+def test_cascade_eliminate_matches_wave(monkeypatch):
+    """csrc/cascade_mod.c eliminate-with-coefficients (the few-row route
+    inside wave_eliminate) must agree with the level-wave path mod p on
+    both the residual and the coefficients."""
+    from spasm_tpu.pivots import find_structural_pivots
+
+    if N._load("cascade_mod", N._configure_cascade) is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(9)
+    for p in (42013, 3, 2147483629, 4294967291):
+        f = field(p)
+        A = SparseGFp.rand(f, 260, 240, 0.04, rng)
+        prows, pcols, _ = find_structural_pivots(A)
+        npiv = prows.size
+        S = A.to_scipy().astype(np.int64)
+        Up = sp.csr_matrix(S[prows])
+        vals = np.asarray(
+            Up[np.arange(npiv), pcols]).ravel().astype(np.int64)
+        row_of = np.repeat(np.arange(npiv), np.diff(Up.indptr))
+        Up.data = f.normalize(Up.data * f.inv(vals)[row_of])
+        levels = E.compute_levels(Up, pcols)
+        rest = np.setdiff1d(np.arange(260), prows)[:5]
+        B = sp.csr_matrix(S[rest])
+        D1, C1 = E.wave_eliminate(f, Up, pcols, levels, B,
+                                  record_coeffs=True,
+                                  assume_canonical=True)
+        monkeypatch.setattr(N, "cascade_eliminate_native",
+                            lambda *a, **k: None)
+        D2, C2 = E.wave_eliminate(f, Up, pcols, levels, B,
+                                  record_coeffs=True,
+                                  assume_canonical=True)
+        monkeypatch.undo()
+        for X, Y in ((D1, D2), (C1, C2)):
+            d = (X - Y)
+            d.data %= p
+            d.eliminate_zeros()
+            assert d.nnz == 0
