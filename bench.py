@@ -15,6 +15,8 @@ VERDICT-r3 evidence items:
   structured      the d7 boundary case (2.56M nnz)
   structured_large the d9 headline case, with per-phase host/device wall
                   attribution (echelonize.last_phase_stats)
+  structured_xl   one size up (d10, 85M nnz) — scaling evidence past the
+                  GL7d class
   kernel_basis    kernel (null-space) basis of the d9 matrix itself
                   (1,081,575 kernel rows)
   large_prime     end-to-end rank at p = 2147483629 (tier-B arithmetic)
@@ -151,6 +153,19 @@ def main():
         "phases": phases,
     }
 
+    # one size up (d10: 85M nnz, 7.7M x 5.3M) — scaling evidence past the
+    # GL7d class; 2 reps to bound the bench wall
+    XL = simplex_boundary(LARGE_N, LARGE_K + 1)
+    wall_x, runs_x, rx = timed_reps(lambda: st.rank(XL), 2)
+    assert rx == comb(LARGE_N - 1, LARGE_K + 1), rx
+    xl_detail = {
+        "case": f"simplex boundary d{LARGE_K + 1} on {LARGE_N} vertices",
+        "shape": list(XL.shape), "nnz": XL.nnz, "rank": rx,
+        "wall_s": wall_x, "runs_s": runs_x,
+        "nnz_per_s": round(XL.nnz / wall_x, 1),
+    }
+    del XL
+
     # kernel (null-space) basis of the d9 matrix itself (VERDICT r3
     # item 6: the harder, representative case, replacing the d8 entry)
     wall_k, runs_k, K = timed_reps(lambda: st.kernel(C), 2)
@@ -226,6 +241,7 @@ def main():
                 "nnz_per_s": round(B.nnz / wall_b, 1),
             },
             "structured_large": large_detail,
+            "structured_xl": xl_detail,
             "kernel_basis": kernel_detail,
             "large_prime": large_prime_detail,
             "dense_rref": dense_detail,

@@ -362,3 +362,30 @@ def test_cascade_eliminate_matches_wave(monkeypatch):
             d.data %= p
             d.eliminate_zeros()
             assert d.nnz == 0
+
+
+def test_mutual_reduce_fill_cap_falls_back():
+    """A tiny fill_cap must make mutual_reduce return (U, False) on both
+    the native one-call path and the sweep, and the round loop's wave
+    fallback must still produce the right rank."""
+    rng = np.random.default_rng(21)
+    f = field(42013)
+    # chain block: row k hits col(k+1..k+6) -> heavy fill under RREF
+    r, m = 80, 160
+    pc = np.arange(r) * 2
+    rows, cols, vals = [], [], []
+    for k in range(r):
+        rows.append(k); cols.append(pc[k]); vals.append(1)
+        for k2 in range(k + 1, min(k + 7, r)):
+            rows.append(k); cols.append(pc[k2])
+            vals.append(int(rng.integers(1, f.p)))
+        rows.append(k); cols.append(2 * k + 1)
+        vals.append(int(rng.integers(1, f.p)))
+    U = sp.csr_matrix((f.normalize(np.array(vals, np.int64)),
+                       (rows, cols)), shape=(r, m))
+    U.sort_indices()
+    levels = E.compute_levels(U, pc)
+    W, ok = E.mutual_reduce(f, U, pc, levels, fill_cap=None)
+    assert ok and W.nnz > 4 * U.nnz  # genuinely fill-heavy
+    W2, ok2 = E.mutual_reduce(f, U, pc, levels, fill_cap=1.5)
+    assert not ok2 and W2 is U  # capped -> original block returned
