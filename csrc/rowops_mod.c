@@ -73,3 +73,16 @@ void spasm_tpu_scale_rows(
         }
     }
 }
+
+/* out[i] = balanced(x[i] mod P) in one OpenMP pass (field.Field.normalize's
+ * numpy chain is mod + where + astype = three full passes + temporaries;
+ * at 20M entries per L-recording round that is ~1 s of the certificate
+ * flow). */
+void spasm_tpu_normalize_i64(
+    int64_t n, const int64_t *x, int64_t P, int64_t *out)
+{
+    const int64_t halfp = P / 2;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++)
+        out[i] = ro_balanced(x[i], P, halfp);
+}

@@ -88,6 +88,15 @@ class Field:
             # upcast so np.mod with p > 2**31 - 1 cannot overflow the input
             # dtype (int32 CSR data with large p raised OverflowError)
             x = x.astype(np.int64, copy=False)
+        if (x.dtype == np.int64 and x.ndim == 1 and x.size >= (1 << 16)
+                and x.flags.c_contiguous):
+            # one OpenMP pass (csrc/rowops_mod.c) instead of the
+            # mod + where + astype three-pass numpy chain
+            from .native import normalize_i64_native
+
+            out = normalize_i64_native(x, self.p)
+            if out is not None:
+                return out
         r = np.mod(x, self.p)  # in [0, p)
         r = np.where(r > self.halfp, r - self.p, r)
         return r.astype(np.int64) if r.dtype != object else r

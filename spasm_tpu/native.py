@@ -876,3 +876,26 @@ def prng_blocks_native(seed, prime, seq, counter, nblocks):
         bytes(seed), prime, seq, counter, nblocks,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out
+
+
+def _configure_normalize(lib):
+    fn = lib.spasm_tpu_normalize_i64
+    fn.restype = None
+    fn.argtypes = [ctypes.c_int64, _I64P, ctypes.c_int64, _I64P]
+
+
+def normalize_i64_native(x, p):
+    """Balanced mod-p reduction of a contiguous int64 vector in one OpenMP
+    pass (csrc/rowops_mod.c) — same result as Field.normalize's numpy
+    chain.  Returns a fresh int64 array, or None when unavailable."""
+    lib = _load("rowops_mod", _configure_rowops, extra_flags=("-fopenmp",))
+    if lib is None:
+        return None
+    if not hasattr(lib, "_norm_configured"):
+        _configure_normalize(lib)
+        lib._norm_configured = True
+    out = np.empty(x.shape[0], dtype=np.int64)
+    lib.spasm_tpu_normalize_i64(
+        x.shape[0], x.ctypes.data_as(_I64P), p,
+        out.ctypes.data_as(_I64P))
+    return out
