@@ -193,13 +193,12 @@ int64_t spasm_tpu_mutual_reduce(
         }
         range[nth] = nrow;
 
-#pragma omp parallel num_threads(nth)
-        {
-#ifdef _OPENMP
-            int tid = omp_get_thread_num();
-#else
-            int tid = 0;
-#endif
+        /* chunk loop (see schur_mod.c): correct for any delivered
+         * thread count; spa_c/tjs/txs/tcap are indexed by CHUNK, and a
+         * chunk's SPA persists across levels (stale stamps are higher
+         * global row indices — levels descend, so no collision) */
+#pragma omp parallel for schedule(dynamic) num_threads(nth)
+        for (int tid = 0; tid < nth; tid++) {
             if (!fail) {
                 if (!spa_c[tid]) {
                     spa_c[tid] = (mr_cell *)malloc(sizeof(mr_cell) * (size_t)m);

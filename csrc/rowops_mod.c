@@ -23,20 +23,15 @@ static inline int64_t ro_balanced(int64_t x, int64_t P, int64_t halfp)
     return r;
 }
 
-/* Gather rows[0..nr) of (Sp,Sj,Sx) into a fresh CSR.  outp must hold
- * nr+1 entries; out_j/out_x must hold sum of the gathered row lengths
- * (the caller sizes them from a prefix it computes — outp is filled
- * here).  Returns total nnz. */
+/* Gather rows[0..nr) of (Sp,Sj,Sx) into a fresh CSR.  outp (nr+1) is the
+ * PREFILLED output indptr (the caller already computed the row-length
+ * prefix to size out_j/out_x — no second length pass here).  Returns
+ * total nnz. */
 int64_t spasm_tpu_gather_rows(
     int64_t nr, const int64_t *rows,
     const int64_t *Sp, const int32_t *Sj, const int64_t *Sx,
-    int64_t *outp, int32_t *out_j, int64_t *out_x)
+    const int64_t *outp, int32_t *out_j, int64_t *out_x)
 {
-    outp[0] = 0;
-    for (int64_t i = 0; i < nr; i++) {
-        int64_t k = rows[i];
-        outp[i + 1] = outp[i] + (Sp[k + 1] - Sp[k]);
-    }
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < nr; i++) {
         int64_t k = rows[i];

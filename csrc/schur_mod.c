@@ -89,6 +89,24 @@ typedef struct {
 
 static __thread spa_arena g_arena = {0, 0, 0, 0};
 
+/* Free every worker thread's arena (best effort: the release parallel
+ * region reuses the same OpenMP worker pool as the kernels on this
+ * runtime).  The arenas are sized to the largest m ever seen and
+ * otherwise retained for the life of the process — call this from
+ * long-lived embedders after a one-off huge problem. */
+void spasm_tpu_spa_release(void)
+{
+#pragma omp parallel
+    {
+        free(g_arena.spa);
+        free(g_arena.touched);
+        g_arena.spa = NULL;
+        g_arena.touched = NULL;
+        g_arena.cap = 0;
+        g_arena.next_tag = 0;
+    }
+}
+
 /* returns the SPA (cap >= m) and a fresh tag base for q rows, or NULL on
  * allocation failure.  Stale stamps are < *tag0 by construction. */
 static spa_cell *arena_get(int64_t m, int64_t q,
@@ -166,13 +184,11 @@ int64_t spasm_tpu_schur_update(
     int fail = 0;
     if (!tj || !tx || !tn) fail = 1;
 
-#pragma omp parallel num_threads(nthreads)
-    {
-#ifdef _OPENMP
-        int tid = omp_get_thread_num();
-#else
-        int tid = 0;
-#endif
+    /* chunk loop, not tid-indexed regions: `omp for` executes every
+     * chunk no matter how many threads the runtime actually delivers
+     * (OMP_DYNAMIC / thread limits can hand out fewer than requested) */
+#pragma omp parallel for schedule(dynamic) num_threads(nthreads)
+    for (int tid = 0; tid < nthreads; tid++) {
         if (!fail) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
             int32_t *touched;
@@ -343,13 +359,11 @@ int64_t spasm_tpu_schur_update_ranged(
     int fail = 0;
     if (!tj || !tx || !tn) fail = 1;
 
-#pragma omp parallel num_threads(nthreads)
-    {
-#ifdef _OPENMP
-        int tid = omp_get_thread_num();
-#else
-        int tid = 0;
-#endif
+    /* chunk loop, not tid-indexed regions: `omp for` executes every
+     * chunk no matter how many threads the runtime actually delivers
+     * (OMP_DYNAMIC / thread limits can hand out fewer than requested) */
+#pragma omp parallel for schedule(dynamic) num_threads(nthreads)
+    for (int tid = 0; tid < nthreads; tid++) {
         if (!fail) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
             int32_t *touched;
@@ -513,13 +527,11 @@ int64_t spasm_tpu_schur_update_qinv(
     int fail = 0;
     if (!tj || !tx || !tn) fail = 1;
 
-#pragma omp parallel num_threads(nthreads)
-    {
-#ifdef _OPENMP
-        int tid = omp_get_thread_num();
-#else
-        int tid = 0;
-#endif
+    /* chunk loop, not tid-indexed regions: `omp for` executes every
+     * chunk no matter how many threads the runtime actually delivers
+     * (OMP_DYNAMIC / thread limits can hand out fewer than requested) */
+#pragma omp parallel for schedule(dynamic) num_threads(nthreads)
+    for (int tid = 0; tid < nthreads; tid++) {
         if (!fail) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
             int32_t *touched;

@@ -53,8 +53,18 @@ def _load(name: str, configure, extra_flags=()):
                 configure(lib)
             except Exception as exc:  # pragma: no cover - env without cc
                 lib = None
-                print(f"spasm_tpu: native {name} unavailable ({exc}); "
-                      "using NumPy fallback", file=sys.stderr)
+                if extra_flags:
+                    # e.g. a toolchain without -fopenmp: the sources guard
+                    # all OpenMP use behind #ifdef _OPENMP, so a serial
+                    # build preserves the functionality
+                    try:
+                        lib = _build(name, ())
+                        configure(lib)
+                    except Exception:
+                        lib = None
+                if lib is None:
+                    print(f"spasm_tpu: native {name} unavailable ({exc}); "
+                          "using NumPy fallback", file=sys.stderr)
         _libs[name] = lib
     return _libs[name]
 
@@ -65,6 +75,7 @@ def _configure_parser(lib):
     fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                    ctypes.POINTER(ctypes.c_int64),
                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    _configure_sms_writer(lib)
 
 
 def get_lib():
@@ -645,6 +656,7 @@ def _configure_cascade(lib):
                    _I64P, _I32P, _I64P,
                    _I64P, _I32P, _I64P,
                    _I64P, _I64P]
+    _configure_cascade_elim(lib)
 
 
 def cascade_nnz_native(f, sample, U, piv_cols):
@@ -686,6 +698,9 @@ def _configure_rowops(lib):
     fn2.restype = None
     fn2.argtypes = [ctypes.c_int64, _I64P, _I64P, _I64P,
                     ctypes.c_int64, ctypes.c_int64]
+    fn3 = lib.spasm_tpu_normalize_i64
+    fn3.restype = None
+    fn3.argtypes = [ctypes.c_int64, _I64P, ctypes.c_int64, _I64P]
 
 
 def gather_rows_native(S, rows):
@@ -701,9 +716,9 @@ def gather_rows_native(S, rows):
         return None
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     nr = rows.shape[0]
-    lens = ps[0][rows + 1] - ps[0][rows]
-    total = int(lens.sum())
     outp = np.zeros(nr + 1, dtype=np.int64)
+    np.cumsum(ps[0][rows + 1] - ps[0][rows], out=outp[1:])
+    total = int(outp[nr])
     out_j = np.empty(max(total, 1), dtype=np.int32)
     out_x = np.empty(max(total, 1), dtype=np.int64)
     lib.spasm_tpu_gather_rows(
@@ -752,11 +767,8 @@ def format_sms_triples_native(i, j, v):
     uint8 array (hashlib/BytesIO accept it zero-copy via memoryview), or
     None when the native library is unavailable."""
     lib = get_lib()
-    if lib is None or not hasattr(lib, "spasm_tpu_sms_lengths"):
+    if lib is None:
         return None
-    if not hasattr(lib, "_writer_configured"):
-        _configure_sms_writer(lib)
-        lib._writer_configured = True
     i = np.ascontiguousarray(i, dtype=np.int64)
     j = np.ascontiguousarray(j, dtype=np.int64)
     v = np.ascontiguousarray(v, dtype=np.int64)
@@ -803,9 +815,6 @@ def cascade_eliminate_native(f, B, U, piv_cols):
     lib = _load("cascade_mod", _configure_cascade)
     if lib is None:
         return None
-    if not hasattr(lib, "_elim_configured"):
-        _configure_cascade_elim(lib)
-        lib._elim_configured = True
     pb = _csr_parts(B)
     pu = _csr_parts(U)
     if pb is None or pu is None:
@@ -878,12 +887,6 @@ def prng_blocks_native(seed, prime, seq, counter, nblocks):
     return out
 
 
-def _configure_normalize(lib):
-    fn = lib.spasm_tpu_normalize_i64
-    fn.restype = None
-    fn.argtypes = [ctypes.c_int64, _I64P, ctypes.c_int64, _I64P]
-
-
 def normalize_i64_native(x, p):
     """Balanced mod-p reduction of a contiguous int64 vector in one OpenMP
     pass (csrc/rowops_mod.c) — same result as Field.normalize's numpy
@@ -891,11 +894,25 @@ def normalize_i64_native(x, p):
     lib = _load("rowops_mod", _configure_rowops, extra_flags=("-fopenmp",))
     if lib is None:
         return None
-    if not hasattr(lib, "_norm_configured"):
-        _configure_normalize(lib)
-        lib._norm_configured = True
     out = np.empty(x.shape[0], dtype=np.int64)
     lib.spasm_tpu_normalize_i64(
         x.shape[0], x.ctypes.data_as(_I64P), p,
         out.ctypes.data_as(_I64P))
     return out
+
+
+def release_native_scratch():
+    """Free the persistent per-thread SPA arenas of the Schur kernels
+    (csrc/schur_mod.c spasm_tpu_spa_release).  They are sized to the
+    largest column count ever processed and otherwise retained for the
+    life of the process (the same policy as the tuned malloc high-water
+    mark, utils/hostmem.py); long-lived embedders can call this after a
+    one-off huge problem.  No-op when the native library is absent."""
+    lib = _libs.get("schur_mod")
+    if lib is None:
+        return
+    if not hasattr(lib, "_release_configured"):
+        lib.spasm_tpu_spa_release.restype = None
+        lib.spasm_tpu_spa_release.argtypes = []
+        lib._release_configured = True
+    lib.spasm_tpu_spa_release()
