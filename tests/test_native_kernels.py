@@ -389,3 +389,52 @@ def test_mutual_reduce_fill_cap_falls_back():
     assert ok and W.nnz > 4 * U.nnz  # genuinely fill-heavy
     W2, ok2 = E.mutual_reduce(f, U, pc, levels, fill_cap=1.5)
     assert not ok2 and W2 is U  # capped -> original block returned
+
+
+def test_kernels_correct_under_restricted_omp_runtime():
+    """The chunk-loop work distribution must be correct when the OpenMP
+    runtime delivers fewer threads than requested (OMP_DYNAMIC=true,
+    OMP_THREAD_LIMIT=2) — the old tid-indexed ranges left rows
+    unprocessed in that configuration.  Runs in a subprocess because the
+    OpenMP runtime reads its env at first use."""
+    import subprocess
+    import sys
+
+    code = r"""
+import numpy as np, scipy.sparse as sp, importlib
+elim = importlib.import_module("spasm_tpu.elimination")
+from spasm_tpu.field import Field
+from spasm_tpu.csr import SparseGFp
+from spasm_tpu.pivots import find_structural_pivots
+rng = np.random.default_rng(3)
+f = Field(42013)
+A = SparseGFp.rand(f, 400, 360, 0.03, rng)
+prows, pcols, _ = find_structural_pivots(A)
+S = A.to_scipy().astype(np.int64)
+Up = sp.csr_matrix(S[prows])
+npiv = prows.size
+vals = np.asarray(Up[np.arange(npiv), pcols]).ravel().astype(np.int64)
+row_of = np.repeat(np.arange(npiv), np.diff(Up.indptr))
+Up.data = f.normalize(Up.data * f.inv(vals)[row_of])
+levels = elim.compute_levels(Up, pcols)
+Ustar, ok = elim.mutual_reduce(f, Up, pcols, levels)
+assert ok
+rest = np.setdiff1d(np.arange(400), prows)
+B = sp.csr_matrix(S[rest])
+D, _ = elim.eliminate_against_reduced(f, Ustar, pcols, B,
+                                      assume_canonical=True)
+# oracle: scipy product (small p: no overflow at these sizes)
+cols = sp.csc_matrix(B)[:, pcols]
+ref = B - cols @ sp.csr_matrix(Ustar)
+ref.data %= f.p
+d = D - ref
+d.data %= f.p
+d.eliminate_zeros()
+assert d.nnz == 0, d.nnz
+print("RESTRICTED-OMP-OK")
+"""
+    env = dict(os.environ, OMP_DYNAMIC="true", OMP_THREAD_LIMIT="2",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "RESTRICTED-OMP-OK" in out.stdout, (out.stdout, out.stderr)
