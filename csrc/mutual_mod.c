@@ -64,9 +64,10 @@ static int cmp_i32_mr(const void *a, const void *b)
     return (x > y) - (x < y);
 }
 
+/* nearly-sorted input (concatenated sorted runs) — see schur_mod.c */
 static inline void sort_touched_mr(int32_t *a, int64_t n)
 {
-    if (n <= 48) {
+    if (n <= 512) {
         for (int64_t i = 1; i < n; i++) {
             int32_t v = a[i];
             int64_t j = i - 1;

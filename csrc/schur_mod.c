@@ -40,11 +40,13 @@ void spasm_tpu_free(void *p) { free(p); }
 
 int spasm_tpu_cmp_i32(const void *a, const void *b);
 
-/* rows typically touch few columns; insertion sort beats qsort's call +
- * dispatch overhead up to a few dozen elements */
+/* The touched list is a concatenation of sorted runs (the B row, then
+ * each referenced U row), i.e. nearly sorted overall — insertion sort is
+ * near-linear on it and beat qsort by ~2x on the d9 Schur kernel even at
+ * widths in the hundreds; qsort only guards the quadratic worst case. */
 static inline void sort_touched(int32_t *a, int64_t n)
 {
-    if (n <= 48) {
+    if (n <= 512) {
         for (int64_t i = 1; i < n; i++) {
             int32_t v = a[i];
             int64_t j = i - 1;
