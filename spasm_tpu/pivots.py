@@ -83,6 +83,18 @@ def fl_row_pivots(A: SparseGFp, row_mask=None, col_mask=None):
     # NOTE: using the row's overall leftmost column keeps the append
     # invariant only if col_mask is monotone (True prefix); we instead
     # re-check the invariant in the caller for masked searches.
+    #
+    # Per column we keep the row minimizing (length, row index).  A
+    # scatter-min over the packed key (length << 32 | row) selects
+    # exactly what the former lexsort+first-occurrence pass did, in
+    # O(rows + m) instead of a 3-key sort (~0.25 s of the d9 pivot
+    # phase).
+    if rows.size and int(n) < (1 << 32) and int(lengths.max()) < (1 << 31):
+        best = np.full(m, np.iinfo(np.int64).max, np.int64)
+        combo = (lengths[rows].astype(np.int64) << 32) | rows
+        scatter_min(best, min_col, combo)
+        cols = np.flatnonzero(best != np.iinfo(np.int64).max)
+        return (best[cols] & 0xFFFFFFFF).astype(np.int64), cols
     order = np.lexsort((rows, lengths[rows], min_col))
     rows, min_col = rows[order], min_col[order]
     first = np.ones(rows.size, bool)
