@@ -35,12 +35,19 @@ int64_t spasm_tpu_gather_rows(
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < nr; i++) {
         int64_t k = rows[i];
-        int64_t len = Sp[k + 1] - Sp[k];
-        if (len) {
-            memcpy(out_j + outp[i], Sj + Sp[k],
-                   sizeof(int32_t) * (size_t) len);
-            memcpy(out_x + outp[i], Sx + Sp[k],
-                   sizeof(int64_t) * (size_t) len);
+        int64_t s0 = Sp[k];
+        int64_t len = Sp[k + 1] - s0;
+        int64_t d0 = outp[i];
+        if (len <= 24) {
+            /* typical sparse rows are ~10 entries: inline copies beat
+             * two memcpy calls per row */
+            for (int64_t t = 0; t < len; t++) {
+                out_j[d0 + t] = Sj[s0 + t];
+                out_x[d0 + t] = Sx[s0 + t];
+            }
+        } else {
+            memcpy(out_j + d0, Sj + s0, sizeof(int32_t) * (size_t) len);
+            memcpy(out_x + d0, Sx + s0, sizeof(int64_t) * (size_t) len);
         }
     }
     return outp[nr];
