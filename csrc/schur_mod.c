@@ -571,6 +571,15 @@ int64_t spasm_tpu_schur_update_qinv(
                         int64_t k = qinv[Bj[t]];
                         if (k < 0)
                             continue;
+                        if (t + 1 < Bp[i + 1]) {
+                            /* hide the dependent random access to the next
+                             * hit's pivot-row start behind this hit's axpy */
+                            int64_t kn = qinv[Bj[t + 1]];
+                            if (kn >= 0) {
+                                __builtin_prefetch(&Uj[Up[kn]], 0, 1);
+                                __builtin_prefetch(&Ux[Up[kn]], 0, 1);
+                            }
+                        }
                         int64_t c = Bx[t];
                         if (reduce_each) {
                             for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
@@ -583,6 +592,8 @@ int64_t spasm_tpu_schur_update_qinv(
                                     spa[j].val - c * Ux[u], P, halfp);
                             }
                         } else {
+                            for (int64_t u = Up[k]; u < Up[k + 1]; u++)
+                                __builtin_prefetch(&spa[Uj[u]], 1, 1);
                             for (int64_t u = Up[k]; u < Up[k + 1]; u++) {
                                 int32_t j = Uj[u];
                                 if (spa[j].stamp != tag) {
