@@ -168,7 +168,10 @@ int64_t spasm_tpu_mutual_reduce(
             work = (int64_t *)malloc(sizeof(int64_t) * (size_t)work_cap);
             if (!work) { fail = 1; break; }
         }
+        /* per-row work in parallel (random qinv/fin_len lookups), then a
+         * serial O(nrow) prefix */
         work[0] = 0;
+#pragma omp parallel for schedule(static) num_threads(nthreads)
         for (int64_t i = lo; i < hi; i++) {
             int64_t o = MR_ROW(i);
             int64_t w = Wp[o + 1] - Wp[o];
@@ -177,8 +180,10 @@ int64_t spasm_tpu_mutual_reduce(
                 if (k >= 0 && k != i)
                     w += fin_len[k];
             }
-            work[i - lo + 1] = work[i - lo] + w + 1;
+            work[i - lo + 1] = w + 1;
         }
+        for (int64_t i = 0; i < nrow; i++)
+            work[i + 1] += work[i];
         int64_t total_work = work[nrow];
         int nth = nthreads;
         if ((int64_t)nth > nrow) nth = (int)nrow;

@@ -250,14 +250,18 @@ def eliminate_against_reduced(f: Field, Ustar, piv_cols, B_sp,
     if D is not None:
         C = None
         if record_coeffs:
+            # C's row i = B row i's qinv hits: build the CSR directly
+            # (indptr = running hit count sampled at B's row boundaries)
+            # instead of a COO round-trip over all of B's nnz
             k = qinv[B.indices]
             mask = k >= 0
-            rows = np.repeat(np.arange(q, dtype=np.int64),
-                             np.diff(B.indptr))
+            csum = np.zeros(mask.size + 1, np.int64)
+            np.cumsum(mask, out=csum[1:])
+            indptr = csum[B.indptr]
             C = sp.csr_matrix(
-                (np.asarray(B.data)[mask],
-                 (rows[mask], k[mask].astype(np.int64))),
-                shape=(q, r), dtype=np.int64)
+                (np.asarray(B.data)[mask].astype(np.int64, copy=False),
+                 k[mask].astype(np.int32), indptr), shape=(q, r))
+            C.sort_indices()
         return D, C
     C = sp.csr_matrix(B[:, piv_cols])
     if C.nnz:
