@@ -480,13 +480,17 @@ int64_t spasm_tpu_schur_update_ranged(
  * M nnz).  U has unit pivots, so pivot-column entries of D vanish
  * exactly, matching the materialized product (elimination.py
  * eliminate_against_reduced). */
+/* rowsel (optional, NULL = identity): output row i reads input row
+ * rowsel[i] — the caller never materializes the row-subset gather of B
+ * (the round loop's S_rest at tens of M nnz). */
 int64_t spasm_tpu_schur_update_qinv(
     int64_t q, int64_t m, int64_t P, int64_t reduce_each,
     const int64_t *Bp, const int32_t *Bj, const int64_t *Bx,
-    const int64_t *qinv,
+    const int64_t *qinv, const int64_t *rowsel,
     const int64_t *Up, const int32_t *Uj, const int64_t *Ux,
     int64_t *outp, int32_t **out_j_ret, int64_t **out_x_ret)
 {
+#define QV_ROW(i) (rowsel ? rowsel[(i)] : (i))
     const int64_t halfp = P / 2;
     int nthreads = 1;
 #ifdef _OPENMP
@@ -499,8 +503,9 @@ int64_t spasm_tpu_schur_update_qinv(
     if (!work) return -1;
     work[0] = 0;
     for (int64_t i = 0; i < q; i++) {
-        int64_t w = Bp[i + 1] - Bp[i];
-        for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
+        const int64_t o = QV_ROW(i);
+        int64_t w = Bp[o + 1] - Bp[o];
+        for (int64_t t = Bp[o]; t < Bp[o + 1]; t++) {
             int64_t k = qinv[Bj[t]];
             if (k >= 0)
                 w += Up[k + 1] - Up[k];
@@ -541,8 +546,9 @@ int64_t spasm_tpu_schur_update_qinv(
             spa_cell *spa = arena_get(m, r1 - r0, &touched, &tag0);
             int64_t cap = 1024;
             for (int64_t i = r0; i < r1; i++) {
-                int64_t w = Bp[i + 1] - Bp[i];
-                for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
+                const int64_t o = QV_ROW(i);
+                int64_t w = Bp[o + 1] - Bp[o];
+                for (int64_t t = Bp[o]; t < Bp[o + 1]; t++) {
                     int64_t k = qinv[Bj[t]];
                     if (k >= 0)
                         w += Up[k + 1] - Up[k];
@@ -557,9 +563,10 @@ int64_t spasm_tpu_schur_update_qinv(
             } else {
                 int64_t nout = 0;
                 for (int64_t i = r0; i < r1; i++) {
+                    const int64_t o = QV_ROW(i);
                     const int64_t tag = tag0 + (i - r0);
                     int64_t ntouch = 0;
-                    for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
+                    for (int64_t t = Bp[o]; t < Bp[o + 1]; t++) {
                         int32_t j = Bj[t];
                         if (spa[j].stamp != tag) {
                             spa[j].stamp = tag; spa[j].val = 0;
@@ -567,11 +574,11 @@ int64_t spasm_tpu_schur_update_qinv(
                         }
                         spa[j].val += Bx[t];
                     }
-                    for (int64_t t = Bp[i]; t < Bp[i + 1]; t++) {
+                    for (int64_t t = Bp[o]; t < Bp[o + 1]; t++) {
                         int64_t k = qinv[Bj[t]];
                         if (k < 0)
                             continue;
-                        if (t + 1 < Bp[i + 1]) {
+                        if (t + 1 < Bp[o + 1]) {
                             /* hide the dependent random access to the next
                              * hit's pivot-row start behind this hit's axpy */
                             int64_t kn = qinv[Bj[t + 1]];

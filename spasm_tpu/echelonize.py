@@ -313,11 +313,17 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         # if the complement would densify past sparsity_threshold, skip
         # this round and let the dense finish take the current S (the
         # reference's est_density gate, src/SpaSM.jl:763)
+        # the materialized rest-row slice is only needed by the L path,
+        # the device/mesh sparse path and the wave fallback — the plain
+        # rank path eliminates straight off S via the kernel's row
+        # indirection, skipping a tens-of-MB gather per round
+        need_rest = (opts.L or mesh is not None
+                     or bool(opts.device_sparse_min_nnz))
         est, S_rest, rest_rows, blk = _round_schur_estimate(
-            f, S, prows, pcols)
+            f, S, prows, pcols, need_rest=need_rest)
         Upart, piv_vals, levels_blk = blk
         del blk
-        log(f"Schur complement is {S_rest.shape[0]} x {S.shape[1]}, "
+        log(f"Schur complement is {rest_rows.size} x {S.shape[1]}, "
             f"estimated density : {est:.2f}")
         thresh = opts.sparsity_threshold
         if (opts.device_sparsity_threshold is not None and opts.enable_dense
@@ -384,12 +390,19 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                              f.normalize(Uc.data[pm].astype(np.int64)
                                          * piv_vals[Uc.row[pm]]))
                     reduced_L = True
-                S_new, C = eliminate_against_reduced(
-                    f, Ustar, pcols, S_rest, record_coeffs=opts.L,
-                    assume_canonical=True)
+                if S_rest is not None:
+                    S_new, C = eliminate_against_reduced(
+                        f, Ustar, pcols, S_rest, record_coeffs=opts.L,
+                        assume_canonical=True)
+                else:
+                    S_new, C = eliminate_against_reduced(
+                        f, Ustar, pcols, S, record_coeffs=False,
+                        assume_canonical=True, rows=rest_rows)
                 Upart = Ustar  # store the reduced block as U (valid
                 # echelon form)
             else:  # fill blow-up guard: wave cascade
+                if S_rest is None:
+                    S_rest = _gather_rest(S, rest_rows)
                 S_new, C = wave_eliminate(f, Upart, pcols, levels_blk,
                                           S_rest, record_coeffs=opts.L,
                                           assume_canonical=True)
@@ -581,12 +594,22 @@ def _save_checkpoint(path, f, opts, round_idx, r, S, row_origin, m,
     log(f"[echelonize] checkpoint saved at round {round_idx}")
 
 
-def _round_schur_estimate(f: Field, S, prows, pcols):
+def _gather_rest(S, rest_rows):
+    from .native import gather_rows_native
+
+    out = gather_rows_native(S, rest_rows)
+    return out if out is not None else sp.csr_matrix(S[rest_rows])
+
+
+def _round_schur_estimate(f: Field, S, prows, pcols, need_rest=True):
     """Scale the round's pivot rows to unit pivots, derive the block's
     elimination levels, split off the non-pivot rows, and Monte-Carlo
     estimate the Schur complement density (the reference's
     spasm_schur_estimate_density gate, src/SpaSM.jl:763).  Returns
-    (est, S_rest, rest_rows, (Upart, piv_vals, Ublock_w, levels_blk))."""
+    (est, S_rest, rest_rows, (Upart, piv_vals, levels_blk)); with
+    need_rest=False, S_rest is None (the estimate samples straight off S
+    via rest_rows and the caller eliminates via the kernel's row
+    indirection instead of a materialized gather)."""
     from .native import gather_rows_native, scale_rows_native
 
     npiv = prows.size
@@ -625,10 +648,15 @@ def _round_schur_estimate(f: Field, S, prows, pcols):
     rest_mask = np.ones(S.shape[0], bool)
     rest_mask[prows] = False
     rest_rows = np.flatnonzero(rest_mask)
-    S_rest = gather_rows_native(S, rest_rows)
-    if S_rest is None:
-        S_rest = S[rest_rows]
-    est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
+    if need_rest:
+        S_rest = gather_rows_native(S, rest_rows)
+        if S_rest is None:
+            S_rest = S[rest_rows]
+        est = schur_estimate_density(f, Upart, pcols, levels_blk, S_rest)
+    else:
+        S_rest = None
+        est = schur_estimate_density(f, Upart, pcols, levels_blk, S,
+                                     rest_rows=rest_rows)
     return est, S_rest, rest_rows, (Upart, piv_vals, levels_blk)
 
 
@@ -685,24 +713,38 @@ def _device_sparse_schur(f: Field, mesh, U, pcols, levels, S_rest_sp):
 
 
 def schur_estimate_density(f: Field, U_sp, piv_cols, levels, S_rest,
-                           samples: int = 100, rng=None):
+                           samples: int = 100, rng=None, rest_rows=None):
     """Monte-Carlo Schur density estimate (``spasm_schur_estimate_density``,
     src/SpaSM.jl:763): eliminate a random sample of the remaining rows and
     measure the resulting fill.
+
+    With ``rest_rows`` given, S_rest is the FULL matrix and the sample is
+    drawn from its rest_rows subset (bit-identical draw: same rng stream
+    over the same subset size) — the caller skips materializing the
+    rest-row gather.
 
     The elimination of ~100 sample rows only ever touches the pivot rows
     in the reachability closure of their column support, so the pivot
     block is first restricted to that closure (a tiny fraction of a
     multi-million-row U) instead of slicing the full block per level."""
-    q, m = S_rest.shape
+    m = S_rest.shape[1]
+    q = rest_rows.size if rest_rows is not None else S_rest.shape[0]
     if q == 0 or m == 0:
         return 0.0
     if q <= samples:
-        sample = S_rest
+        rows_sel = rest_rows  # None = all rows
     else:
         rng = np.random.default_rng(0) if rng is None else rng
-        rows = rng.choice(q, size=samples, replace=False)
-        sample = S_rest[np.sort(rows)]
+        rows = np.sort(rng.choice(q, size=samples, replace=False))
+        rows_sel = rest_rows[rows] if rest_rows is not None else rows
+    if rows_sel is None:
+        sample = S_rest
+    else:
+        from .native import gather_rows_native
+
+        sample = gather_rows_native(sp.csr_matrix(S_rest), rows_sel)
+        if sample is None:
+            sample = S_rest[rows_sel]
     piv_cols = np.asarray(piv_cols, np.int64)
     r = U_sp.shape[0]
     # native per-row heap cascade (csrc/cascade_mod.c): exact elimination

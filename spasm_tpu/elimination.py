@@ -227,13 +227,33 @@ def _mutual_reduce_native(f, W, pc_sorted, offs, depth, nnz_cap):
 
 
 def eliminate_against_reduced(f: Field, Ustar, piv_cols, B_sp,
-                              record_coeffs=False, assume_canonical=False):
+                              record_coeffs=False, assume_canonical=False,
+                              rows=None):
     """Single-wave elimination against a mutually reduced pivot block:
     B' = B - B[:, piv_cols] @ Ustar (mod p).  Same contract as
-    wave_eliminate."""
-    q = B_sp.shape[0]
+    wave_eliminate.  ``rows`` (optional) restricts to B_sp[rows] without
+    materializing the row-subset gather (the kernel permutes on read);
+    requires assume_canonical and is only taken on the native
+    coefficient-free path — other paths gather first."""
     r = Ustar.shape[0]
     piv_cols = np.asarray(piv_cols, np.int64)
+    if rows is not None:
+        rows = np.asarray(rows, np.int64)
+        if assume_canonical and not record_coeffs and r:
+            from .native import schur_update_qinv_native
+
+            qinv = np.full(B_sp.shape[1], -1, np.int64)
+            qinv[piv_cols] = np.arange(r)
+            D = schur_update_qinv_native(f, sp.csr_matrix(B_sp), qinv,
+                                         sp.csr_matrix(Ustar), rows=rows)
+            if D is not None:
+                return D, None
+        # fallback: materialize the subset and continue below
+        from .native import gather_rows_native
+
+        sub = gather_rows_native(sp.csr_matrix(B_sp), rows)
+        B_sp = sub if sub is not None else sp.csr_matrix(B_sp)[rows]
+    q = B_sp.shape[0]
     B = sp.csr_matrix(B_sp) if assume_canonical else mod_reduce(B_sp, f)
     if r == 0:
         return B, (sp.csr_matrix((q, 0), dtype=np.int64)

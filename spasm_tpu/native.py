@@ -281,12 +281,14 @@ def levels_from_sorted_edges(src, dst, r):
     return levels
 
 
-def schur_update_qinv_native(f, B, qinv, U):
-    """Fused D = B - B[:, piv_cols] @ U (mod p, balanced) with the
-    coefficients read off B via qinv (csrc/schur_mod.c qinv variant) —
-    no coefficient-submatrix materialization.  qinv[j] = U row owning
-    column j, or -1.  U must be mutually reduced with unit pivots.
-    Returns a canonical scipy csr or None (callers fall back)."""
+def schur_update_qinv_native(f, B, qinv, U, rows=None):
+    """Fused D = B[rows] - B[rows][:, piv_cols] @ U (mod p, balanced)
+    with the coefficients read off B via qinv (csrc/schur_mod.c qinv
+    variant) — no coefficient-submatrix materialization, and with
+    ``rows`` given no row-subset gather either (output row i reads input
+    row rows[i] inside the kernel).  qinv[j] = U row owning column j, or
+    -1.  U must be mutually reduced with unit pivots.  Returns a
+    canonical scipy csr or None (callers fall back)."""
     import scipy.sparse as sp
 
     lib = _load("schur_mod", _configure_schur, extra_flags=("-fopenmp",))
@@ -298,7 +300,7 @@ def schur_update_qinv_native(f, B, qinv, U):
         fn.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                        ctypes.c_int64,
                        _I64P, _I32P, _I64P,
-                       _I64P,
+                       _I64P, _I64P,
                        _I64P, _I32P, _I64P,
                        _I64P,
                        ctypes.POINTER(_I32P), ctypes.POINTER(_I64P)]
@@ -309,6 +311,12 @@ def schur_update_qinv_native(f, B, qinv, U):
     if pb is None or pu is None:
         return None
     qinv = np.ascontiguousarray(qinv, dtype=np.int64)
+    if rows is not None:
+        rows = np.ascontiguousarray(rows, dtype=np.int64)
+        q = rows.shape[0]
+        rows_p = rows.ctypes.data_as(_I64P)
+    else:
+        rows_p = None
     halfp = f.halfp
     safe_t = (1 << 62) // max(1, halfp * halfp)
     max_terms = 2 + int(np.diff(pb[0]).max(initial=0))
@@ -320,7 +328,7 @@ def schur_update_qinv_native(f, B, qinv, U):
         q, m, f.p, reduce_each,
         pb[0].ctypes.data_as(_I64P), pb[1].ctypes.data_as(_I32P),
         pb[2].ctypes.data_as(_I64P),
-        qinv.ctypes.data_as(_I64P),
+        qinv.ctypes.data_as(_I64P), rows_p,
         pu[0].ctypes.data_as(_I64P), pu[1].ctypes.data_as(_I32P),
         pu[2].ctypes.data_as(_I64P),
         outp.ctypes.data_as(_I64P),
