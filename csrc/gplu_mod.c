@@ -232,7 +232,7 @@ int64_t spasm_tpu_gplu(
         if (fail)
             break;
         if (nt > 1) {
-            if (nt <= 48) {  /* insertion sort: small rows dominate */
+            if (nt <= 512) {  /* nearly-sorted (concatenated sorted runs) — see schur_mod.c */
                 for (int64_t a_ = 1; a_ < nt; a_++) {
                     int32_t v = touched[a_];
                     int64_t b_ = a_ - 1;
