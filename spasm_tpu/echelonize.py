@@ -495,10 +495,10 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         U_sp = sp.csr_matrix((0, m), dtype=np.int64)
         piv_cols = np.zeros(0, np.int64)
         p_vec = np.zeros(0, np.int64)
-    # every finish block is canonical csr (mod_reduce output, the COO->csr
-    # constructions of extract_u_csr / the resident U pool, or GPLU's
-    # mod_reduce), and vstack preserves per-row order — skip the
-    # re-canonicalization lexsort (1s+ at millions of nnz)
+    # every finish block is canonical csr (mod_reduce output, the dense
+    # finish's COO->csr construction, or GPLU's mod_reduce), and vstack
+    # preserves per-row order — skip the re-canonicalization lexsort
+    # (1s+ at millions of nnz)
     U = SparseGFp.from_scipy(U_sp, f.p, assume_canonical=True)
     qinv = np.full(m, -1, np.int64)
     qinv[piv_cols] = np.arange(r)
