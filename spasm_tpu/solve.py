@@ -112,18 +112,48 @@ def kernel_from_rref(R: SparseGFp, qinv) -> SparseGFp:
     piv_cols = np.full(r, -1, np.int64)
     piv_cols[qinv[qinv >= 0]] = np.flatnonzero(qinv >= 0)
     nfree = free_cols.size
-    free_idx = np.full(m, -1, np.int64)
-    free_idx[free_cols] = np.arange(nfree)
-    i, j, v = R.to_coo()
-    mask = free_idx[j] >= 0
-    rows = free_idx[j[mask]]          # kernel row = index of the free col
-    cols = piv_cols[i[mask]]          # entry sits at the pivot's column
-    vals = v[mask]
-    rows = np.concatenate([rows, np.arange(nfree)])
-    cols = np.concatenate([cols, free_cols])
-    vals = np.concatenate([vals, np.full(nfree, -1, np.int64)])
-    return SparseGFp.from_coo(f, nfree, m, rows, cols, vals,
-                              sum_duplicates=False)
+    # Kernel row i (free column f = free_cols[i]) holds R's column-f
+    # values at the pivots' columns plus the -1 at f itself.  R's CSC is
+    # R.T's CSR, so the per-free-column slices come from ONE parallel row
+    # gather of the transpose; pivot columns ascend with the pivot index
+    # in a canonical RREF, so each gathered row is already column-sorted
+    # and only the -1 entry needs splicing in at its sorted position —
+    # no COO round-trip over the kernel's nnz.
+    Rc = R.to_scipy().tocsc()
+    RT = sp.csr_matrix((Rc.data, Rc.indices, Rc.indptr), shape=(m, r))
+    from .native import gather_rows_native
+
+    sub = gather_rows_native(RT, free_cols)
+    if sub is None:
+        sub = sp.csr_matrix(RT[free_cols])
+    counts = np.diff(sub.indptr).astype(np.int64)
+    bulk_cols = piv_cols[sub.indices]            # ascending per row
+    bulk_vals = np.asarray(sub.data, np.int64)
+    nbulk = bulk_cols.size
+    # position of the -1 entry in each row = #bulk entries left of f
+    f_rep = np.repeat(free_cols, counts)
+    less = bulk_cols < f_rep
+    csum = np.zeros(nbulk + 1, np.int64)
+    np.cumsum(less, out=csum[1:])
+    pos = csum[sub.indptr[1:]] - csum[sub.indptr[:-1]]
+    indptr = np.zeros(nfree + 1, np.int64)
+    np.cumsum(counts + 1, out=indptr[1:])
+    total = int(indptr[-1])
+    indices = np.empty(total, np.int64)
+    data = np.empty(total, np.int64)
+    # bulk destinations: base + local index, +1 past the spliced -1
+    local = np.arange(nbulk, dtype=np.int64) - np.repeat(
+        sub.indptr[:-1].astype(np.int64), counts)
+    dest = np.repeat(indptr[:-1], counts) + local + (
+        local >= np.repeat(pos, counts))
+    indices[dest] = bulk_cols
+    data[dest] = bulk_vals
+    mdest = indptr[:-1] + pos
+    indices[mdest] = free_cols
+    data[mdest] = -1
+    return SparseGFp(f, nfree, m, indptr,
+                     indices.astype(np.int32), data.astype(np.int32),
+                     _canonical=True)
 
 
 def kernel(obj, verbose=False, **kwargs) -> SparseGFp:
