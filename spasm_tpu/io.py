@@ -122,12 +122,26 @@ def dumps_sms(mat) -> bytes:
 
 
 def save_sms(mat, path_or_file):
-    data = dumps_sms(mat)
     if isinstance(path_or_file, (str, bytes)):
+        # stream header/body/terminator straight to the file — dumps_sms
+        # would buffer the whole serialization through BytesIO +
+        # getvalue (three GB-scale copies at 50M+ nnz)
+        from .native import format_sms_triples_native
+
+        if not isinstance(mat, Triplet):
+            i, j, v = mat.to_coo()
+            body = format_sms_triples_native(i, j, v)
+            if body is not None:
+                with open(path_or_file, "wb") as fh:
+                    fh.write(f"{mat.n} {mat.m} M\n".encode())
+                    fh.write(memoryview(body))
+                    fh.write(b"0 0 0\n")
+                return
         with open(path_or_file, "wb") as fh:
-            fh.write(data)
+            fh.write(dumps_sms(mat))
     else:
         fh = path_or_file
+        data = dumps_sms(mat)
         if hasattr(fh, "mode") and "b" not in getattr(fh, "mode", "b"):
             fh.write(data.decode())
         else:
