@@ -15,6 +15,8 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
+#include <string.h>
 
 static const char *skip_to_int(const char *p, const char *end, int *neg) {
     *neg = 0;
@@ -153,4 +155,133 @@ void spasm_tpu_sms_fill(
         p = sms_write_i64(p, V[e]);
         *p++ = '\n';
     }
+}
+
+/* ---- parallel body tokenizer ----
+ *
+ * Chunked variant of spasm_tpu_parse_sms: the body (everything after the
+ * header line) splits at newline boundaries into per-thread chunks, each
+ * parsed independently into its own slice of `out` (sized by the chunk's
+ * newline count — one triple per line, which SMS writers produce; a
+ * chunk overrunning its slice aborts the whole parse with -1 and the
+ * caller falls back to the sequential tokenizer).  Trailing content
+ * after the first all-zero triple is the caller's job to truncate
+ * (matching the sequential parser, which stops at the terminator).
+ * Returns total triples parsed, or -1 (malformed / capacity). */
+int64_t spasm_tpu_parse_sms_par(const char *buf, int64_t len,
+                                int64_t *header,
+                                int64_t *oi, int64_t *oj, int64_t *ov,
+                                int64_t cap, int64_t nchunks,
+                                int64_t *chunk_counts,
+                                int64_t *term_flags) {
+    const char *p = buf;
+    const char *end = buf + len;
+    int ok;
+    int64_t n, m;
+    p = read_int(p, end, &n, &ok);
+    if (!ok) return -1;
+    p = read_int(p, end, &m, &ok);
+    if (!ok) return -1;
+    header[0] = n;
+    header[1] = m;
+    /* skip the field-marker token (to the end of the header line) */
+    while (p < end && *p != '\n')
+        p++;
+    const char *body = p;
+    int64_t blen = end - body;
+    if (nchunks < 1)
+        nchunks = 1;
+    /* chunk boundaries: advance to the next newline so no token straddles */
+    const char **starts =
+        (const char **) malloc(sizeof(char *) * (size_t) (nchunks + 1));
+    int64_t *offs = (int64_t *) malloc(sizeof(int64_t) * (size_t) (nchunks + 1));
+    if (!starts || !offs) {
+        free(starts); free(offs);
+        return -1;
+    }
+    starts[0] = body;
+    for (int64_t c = 1; c < nchunks; c++) {
+        const char *q = body + blen * c / nchunks;
+        while (q < end && *q != '\n')
+            q++;
+        starts[c] = q < end ? q + 1 : end;
+        if (starts[c] < starts[c - 1])
+            starts[c] = starts[c - 1];
+    }
+    starts[nchunks] = end;
+    for (int64_t c = 0; c < nchunks; c++)
+        term_flags[c] = 0;
+    /* per-chunk triple slots = newline count + 1 (one triple per line) */
+    int fail = 0;
+#pragma omp parallel for schedule(static)
+    for (int64_t c = 0; c < nchunks; c++) {
+        int64_t lines = 1;
+        for (const char *q = starts[c]; q < starts[c + 1]; q++)
+            if (*q == '\n')
+                lines++;
+        offs[c + 1] = lines;
+    }
+    offs[0] = 0;
+    for (int64_t c = 0; c < nchunks; c++)
+        offs[c + 1] += offs[c];
+    if (offs[nchunks] > cap)
+        fail = 1;
+#pragma omp parallel for schedule(static)
+    for (int64_t c = 0; c < nchunks; c++) {
+        if (fail) continue;
+        const char *q = starts[c];
+        const char *qe = starts[c + 1];
+        int64_t base = offs[c], limit = offs[c + 1];
+        int64_t cnt = 0;
+        int okc;
+        for (;;) {
+            int64_t i, j, v;
+            q = read_int(q, qe, &i, &okc);
+            if (!okc) break;
+            q = read_int(q, qe, &j, &okc);
+            if (!okc) { cnt = -1; break; }
+            q = read_int(q, qe, &v, &okc);
+            if (!okc) { cnt = -1; break; }
+            if (i == 0 && j == 0 && v == 0) {
+                term_flags[c] = 1;  /* terminator: rest of chunk dropped */
+                break;
+            }
+            if (base + cnt >= limit) { cnt = -1; break; }
+            oi[base + cnt] = i;
+            oj[base + cnt] = j;
+            ov[base + cnt] = v;
+            cnt++;
+        }
+        chunk_counts[c] = cnt;
+        if (cnt < 0) {
+#pragma omp atomic write
+            fail = 1;
+        }
+    }
+    if (fail) {
+        free(starts); free(offs);
+        return -1;
+    }
+    /* compact the per-chunk slices into one contiguous run (serial
+     * memmove: destinations never overlap sources ahead of them).  A
+     * chunk that hit the terminator ends the matrix: later chunks are
+     * content past the terminator, dropped like the sequential parser
+     * drops it. */
+    int64_t total = 0;
+    for (int64_t c = 0; c < nchunks; c++) {
+        if (total != offs[c] && chunk_counts[c] > 0) {
+            memmove(oi + total, oi + offs[c],
+                    sizeof(int64_t) * (size_t) chunk_counts[c]);
+            memmove(oj + total, oj + offs[c],
+                    sizeof(int64_t) * (size_t) chunk_counts[c]);
+            memmove(ov + total, ov + offs[c],
+                    sizeof(int64_t) * (size_t) chunk_counts[c]);
+        }
+        total += chunk_counts[c];
+        if (term_flags[c])
+            break;  /* content past the terminator is dropped, like the
+                     * sequential parser */
+    }
+    free(starts); free(offs);
+    return total;
 }

@@ -75,6 +75,15 @@ def _configure_parser(lib):
     fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                    ctypes.POINTER(ctypes.c_int64),
                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    fn2 = lib.spasm_tpu_parse_sms_par
+    fn2.restype = ctypes.c_int64
+    fn2.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64)]
     _configure_sms_writer(lib)
 
 
@@ -83,13 +92,43 @@ def get_lib():
 
 
 def parse_sms_native(raw: bytes):
-    """Parse SMS bytes -> (n, m, i, j, v) or None if unavailable/invalid."""
+    """Parse SMS bytes -> (n, m, i, j, v) or None if unavailable/invalid.
+
+    Large inputs take the chunked OpenMP tokenizer (newline-aligned
+    chunks, one triple per line); terminator semantics match the
+    sequential parser — everything from the first all-zero triple on is
+    dropped.  The sequential tokenizer is the small-input and fallback
+    path."""
     lib = get_lib()
     if lib is None:
         return None
+    header = (ctypes.c_int64 * 2)()
+    if len(raw) >= (1 << 22):
+        # capacity bound without scanning: every triple line is >= 6
+        # bytes ("i j v\n"); bytes.count over a GB-scale buffer cost
+        # ~1 s on its own.  np.empty reserves address space only — just
+        # the parsed prefix is ever touched — and the returned arrays
+        # are VIEWS (every load_sms consumer rewrites them: the 1-based
+        # shift and the mod reduction both allocate fresh arrays).
+        cap = len(raw) // 6 + 16
+        nchunks = min(16, os.cpu_count() or 1)
+        counts = np.zeros(nchunks, dtype=np.int64)
+        flags = np.zeros(nchunks, dtype=np.int64)
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        oi = np.empty(cap, dtype=np.int64)
+        oj = np.empty(cap, dtype=np.int64)
+        ov = np.empty(cap, dtype=np.int64)
+        count = lib.spasm_tpu_parse_sms_par(
+            raw, len(raw), header,
+            oi.ctypes.data_as(I64), oj.ctypes.data_as(I64),
+            ov.ctypes.data_as(I64), cap,
+            nchunks, counts.ctypes.data_as(I64),
+            flags.ctypes.data_as(I64))
+        if count >= 0:
+            return (int(header[0]), int(header[1]), oi[:count],
+                    oj[:count], ov[:count])
     # upper bound on triples: one per newline
     cap = max(16, raw.count(b"\n") + 2)
-    header = (ctypes.c_int64 * 2)()
     out = np.empty(3 * cap, dtype=np.int64)
     count = lib.spasm_tpu_parse_sms(
         raw, len(raw), header,

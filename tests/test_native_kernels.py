@@ -466,3 +466,47 @@ def test_native_surface_edges():
         assert bytes(body) == b""
     # arena release is callable any time (no-op before first kernel use)
     N.release_native_scratch()
+
+
+def test_parallel_sms_parser_matches_sequential():
+    """The chunked OpenMP tokenizer must parse exactly what the
+    sequential one does, including blank lines, negative values,
+    a mid-file terminator and junk after it (dropped by both)."""
+    lib = N.get_lib()
+    if lib is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(17)
+    nrows = 320_000  # ~5 MB > the 4 MB par-path threshold
+    i = rng.integers(1, 5000, nrows)
+    j = rng.integers(1, 4000, nrows)
+    v = rng.integers(-(10**9), 10**9, nrows)
+    v[v == 0] = 1
+    lines = [f"5000 4000 M"]
+    for k in range(nrows):
+        lines.append(f"{i[k]} {j[k]} {v[k]}")
+        if k % 50_000 == 0:
+            lines.append("")  # blank line
+    lines.append("0 0 0")
+    lines.append("9 9 9")  # junk after the terminator: dropped
+    raw = ("\n".join(lines) + "\n").encode()
+    assert len(raw) >= (1 << 22)
+    par = N.parse_sms_native(raw)
+    # force the sequential tokenizer by shrinking under the threshold:
+    # parse a truncated prefix equivalence is awkward — instead call the
+    # sequential C entry point directly
+    import ctypes
+    header = (ctypes.c_int64 * 2)()
+    cap = raw.count(b"\n") + 2
+    out = np.empty(3 * cap, dtype=np.int64)
+    count = lib.spasm_tpu_parse_sms(
+        raw, len(raw), header,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+    assert count >= 0
+    tri = out[:3 * count].reshape(-1, 3)
+    assert par is not None
+    n, m, pi, pj, pv = par
+    assert (n, m) == (int(header[0]), int(header[1])) == (5000, 4000)
+    assert pi.size == count == nrows
+    assert np.array_equal(pi, tri[:, 0])
+    assert np.array_equal(pj, tri[:, 1])
+    assert np.array_equal(pv, tri[:, 2])
