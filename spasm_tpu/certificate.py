@@ -57,8 +57,21 @@ class SpasmPRNG:
     (``spasm_prng_seed`` / ``spasm_prng_u32`` / ``spasm_prng_ZZp``,
     src/SpaSM.jl:420-425)."""
 
-    def __init__(self, seed: bytes, prime: int, seq: int = 0):
+    #: the four byte-convention candidates for the reference bitstream
+    #: (see tools/prng_golden.py): ctx-word endianness x output-word
+    #: convention.  Ours is LE-STATE; the others exist so a foreign
+    #: (libspasm-produced) certificate can be verified under every
+    #: candidate (tests/golden/prng_vectors.json pins all four).
+    VARIANTS = ("LE-STATE", "LE-MEM", "BE-STATE", "BE-MEM")
+
+    def __init__(self, seed: bytes, prime: int, seq: int = 0,
+                 variant: str = "LE-STATE"):
         assert len(seed) == 32
+        assert variant in self.VARIANTS
+        self.variant = variant
+        endian, words = variant.split("-")
+        self._ctx_fmt = "<III" if endian == "LE" else ">III"
+        self._out_fmt = ">8I" if words == "STATE" else "<8I"
         # the documented ctx block: H(matrix) | prime | counter | seq,
         # 11 u32 words = 44 bytes (src/SpaSM.jl:362-364); counter is
         # spliced in per refill
@@ -84,14 +97,14 @@ class SpasmPRNG:
 
     def _refill(self):
         block = self.seed + struct.pack(
-            "<III", self.prime & 0xFFFFFFFF, self.counter,
+            self._ctx_fmt, self.prime & 0xFFFFFFFF, self.counter,
             self.seq & 0xFFFFFFFF)
         digest = hashlib.sha256(block).digest()
         self.counter += 1
-        # hash[8] state words == big-endian digest words
+        # default variant: hash[8] state words == big-endian digest words
         self.buf = np.concatenate(
             [self.buf,
-             np.array(struct.unpack(">8I", digest), np.uint64)])
+             np.array(struct.unpack(self._out_fmt, digest), np.uint64)])
 
     def u32(self) -> int:
         if not self.buf.size:
@@ -112,23 +125,26 @@ class SpasmPRNG:
         """The next nblocks*8 u32 words of the counter-mode stream."""
         from .native import prng_blocks_native
 
-        words = prng_blocks_native(self.seed, self.prime & 0xFFFFFFFF,
-                                   self.seq & 0xFFFFFFFF, self.counter,
-                                   nblocks)
-        if words is not None:  # csrc/prng_mod.c — hashlib-equivalence
-            self.counter += nblocks  # tested; ~1.8M hashlib calls -> 1 call
-            return words.astype(np.uint64)
+        if self.variant == "LE-STATE":  # the native kernel's convention
+            words = prng_blocks_native(self.seed, self.prime & 0xFFFFFFFF,
+                                       self.seq & 0xFFFFFFFF, self.counter,
+                                       nblocks)
+            if words is not None:  # csrc/prng_mod.c — hashlib-equivalence
+                self.counter += nblocks  # tested; 1.8M hashlib calls->1 call
+                return words.astype(np.uint64)
         pack = struct.pack
         sha = hashlib.sha256
         seed = self.seed
         pr = self.prime & 0xFFFFFFFF
         sq = self.seq & 0xFFFFFFFF
         raw = bytearray(nblocks * 32)
+        ctx_fmt = self._ctx_fmt
         for b in range(nblocks):
             raw[b * 32:(b + 1) * 32] = sha(
-                seed + pack("<III", pr, self.counter, sq)).digest()
+                seed + pack(ctx_fmt, pr, self.counter, sq)).digest()
             self.counter += 1
-        return np.frombuffer(bytes(raw), dtype=">u4").astype(np.uint64)
+        out_dtype = ">u4" if self._out_fmt == ">8I" else "<u4"
+        return np.frombuffer(bytes(raw), dtype=out_dtype).astype(np.uint64)
 
     def zzp_vector(self, k: int) -> np.ndarray:
         """k field elements — bit-identical to k ``zzp()`` calls (same
@@ -181,8 +197,12 @@ class RankCertificate:
 
 
 def certificate_rank_create(A: SparseGFp, hash_: bytes | None = None,
-                            fact: LU | None = None) -> RankCertificate:
-    """``spasm_certificate_rank_create`` (src/SpaSM.jl:928)."""
+                            fact: LU | None = None,
+                            variant: str = "LE-STATE") -> RankCertificate:
+    """``spasm_certificate_rank_create`` (src/SpaSM.jl:928).  ``variant``
+    selects the PRNG byte convention (default: this framework's own
+    bitstream; the other SpasmPRNG.VARIANTS emulate the candidate libspasm
+    conventions for cross-verification testing)."""
     from .solve import _solve_zLp
     from .elimination import wave_eliminate
 
@@ -193,7 +213,7 @@ def certificate_rank_create(A: SparseGFp, hash_: bytes | None = None,
         fact = echelonize(A, L=True)
     r = fact.r
     I, J = fact.p, fact.piv_cols
-    prng = SpasmPRNG(hash_, f.p, seq=0)
+    prng = SpasmPRNG(hash_, f.p, seq=0, variant=variant)
     u = prng.zzp_vector(r)
     v = prng.zzp_vector(A.n)
 
@@ -224,8 +244,13 @@ def certificate_rank_create(A: SparseGFp, hash_: bytes | None = None,
 
 
 def certificate_rank_verify(A: SparseGFp, hash_: bytes,
-                            proof: RankCertificate) -> bool:
-    """``spasm_certificate_rank_verify`` (src/SpaSM.jl:930) — O(nnz)."""
+                            proof: RankCertificate,
+                            variant: str = "LE-STATE") -> bool:
+    """``spasm_certificate_rank_verify`` (src/SpaSM.jl:930) — O(nnz).
+
+    ``variant`` selects the PRNG byte convention (SpasmPRNG.VARIANTS);
+    the default is this framework's own bitstream.  Foreign certificate
+    files can be checked under all four candidates (cli check_cert does)."""
     f = A.field
     if proof.prime != f.p or bytes(proof.hash) != bytes(hash_):
         return False
@@ -237,7 +262,7 @@ def certificate_rank_verify(A: SparseGFp, hash_: bytes,
             or (r and (I.min() < 0 or I.max() >= A.n
                        or J.min() < 0 or J.max() >= A.m))):
         return False
-    prng = SpasmPRNG(bytes(hash_), f.p, seq=0)
+    prng = SpasmPRNG(bytes(hash_), f.p, seq=0, variant=variant)
     u = prng.zzp_vector(r)
     v = prng.zzp_vector(A.n)
     # rank >= r:  (x @ A)[J] == u with x supported on I

@@ -140,7 +140,7 @@ def tool_bitmap(args):
 
 def tool_check_cert(args):
     import spasm_tpu as st
-    from spasm_tpu.certificate import (certificate_rank_verify,
+    from spasm_tpu.certificate import (SpasmPRNG, certificate_rank_verify,
                                        rank_certificate_load)
 
     src = args.input if args.input else sys.stdin.buffer
@@ -149,10 +149,23 @@ def tool_check_cert(args):
     # certificates are seeded from the SMS *stream* hash
     # (load_sms(get_hash=True)); verify against that first, falling back to
     # the canonical matrix hash for certificates created from an in-memory
-    # matrix (certificate_rank_create's default fingerprint)
-    ok = certificate_rank_verify(A, h, proof)
-    if not ok:
-        ok = certificate_rank_verify(A, st.matrix_hash(A), proof)
+    # matrix (certificate_rank_create's default fingerprint).  Our own
+    # bitstream (LE-STATE) is tried first; a foreign (libspasm-produced)
+    # certificate file is then checked under every committed PRNG
+    # byte-convention candidate (tests/golden/prng_vectors.json), so a
+    # cross-verification against real libspasm output is one CLI run.
+    ok = False
+    hash_candidates = (h, st.matrix_hash(A))
+    for variant in SpasmPRNG.VARIANTS:
+        for hash_ in hash_candidates:
+            if certificate_rank_verify(A, hash_, proof, variant=variant):
+                ok = True
+                if variant != "LE-STATE":
+                    print(f"note: verified under PRNG variant {variant}",
+                          file=sys.stderr)
+                break
+        if ok:
+            break
     print("certificate OK" if ok else "certificate INVALID",
           file=sys.stderr)
     return 0 if ok else 1

@@ -191,6 +191,23 @@ class SparseGFp:
         return (f"{self.n}x{self.m} SparseGFp % {self.field.p} "
                 f"with {self.nnz} non-zeros")
 
+    def _repr_png_(self):
+        """Notebook rich display: the sparsity pattern as a grayscale
+        density image, longest side capped at 500 px — the analog of the
+        reference's IJulia PGM display (src/SpaSM.jl:753-767)."""
+        from .io import repr_png
+        return repr_png(self)
+
+    def __truediv__(self, fact):
+        """``B / LU`` — batched sparse triangular solve X @ U == B with
+        the factorization's qinv (src/SpaSM.jl:755).  Returns X or None
+        if any row is unsolvable."""
+        from .echelonize import LU
+        from .solve import sparse_triangular_solve
+        if isinstance(fact, LU):
+            return sparse_triangular_solve(fact, self)
+        return NotImplemented
+
     # ---------------- conversions ----------------
 
     def to_scipy(self):

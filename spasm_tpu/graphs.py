@@ -272,8 +272,11 @@ def permute_column_matching(m, imatch, pinv, q):
     return out
 
 
-def submatching(match, a, b):
-    """``spasm_submatching``: restrict a matching to index range [a, b),
-    reindexed."""
-    match = np.asarray(match, np.int64)[a:b]
-    return match
+def submatching(match, a, b, c, d):
+    """``spasm_submatching(match, a, b, c, d)`` (src/SpaSM.jl:786):
+    restrict a matching to the submatrix [a, b) x [c, d) and REINDEX —
+    entry k of the result is match[a + k] - c when the partner falls in
+    [c, d), else -1 (unmatched in the submatrix)."""
+    out = np.asarray(match, np.int64)[a:b] - c
+    out[(out < 0) | (out >= d - c)] = -1
+    return out

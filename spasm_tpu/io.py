@@ -203,6 +203,43 @@ def save_pnm(mat: SparseGFp, path_or_file, x=None, y=None, mode=2, dm=None):
         path_or_file.write(header + body)
 
 
+def repr_png(mat: SparseGFp, maxsize: int = 500) -> bytes:
+    """PNG bytes of the grayscale density picture of ``mat``'s sparsity
+    pattern, longest side capped at ``maxsize`` (the notebook display
+    analog of the reference's IJulia PGM rendering, src/SpaSM.jl:753-767,
+    which uses the same 500-px cap and proportional downscale)."""
+    import struct
+    import zlib
+
+    n, m = mat.shape
+    y, x = max(1, n), max(1, m)
+    if max(x, y) > maxsize:
+        maxmn = max(x, y)
+        y = max(1, y * maxsize // maxmn)
+        x = max(1, x * maxsize // maxmn)
+    i, j, _ = mat.to_coo()
+    ci = (i * y // max(1, n)).astype(np.int64)
+    cj = (j * x // max(1, m)).astype(np.int64)
+    counts = np.zeros((y, x), dtype=np.int64)
+    np.add.at(counts, (ci, cj), 1)
+    cell = max(1, (n // y) * (m // x))
+    dens = counts.astype(np.float64) / cell
+    gray = 255 - np.minimum(255, (dens * 255 * 4)).astype(np.uint8)
+    gray[counts == 0] = 255
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    # filter byte 0 (None) per scanline, 8-bit grayscale (color type 0)
+    raw = np.concatenate(
+        [np.zeros((y, 1), np.uint8), gray], axis=1).tobytes()
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", x, y, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
 def _paint_dm(img, dm, n, m, y, x):
     """Overlay the coarse DM decomposition blocks in distinct hues."""
     colors = [(255, 200, 200), (200, 255, 200), (200, 200, 255), (255, 255, 180)]

@@ -948,6 +948,40 @@ def normalize_i64_native(x, p):
     return out
 
 
+def _configure_trisolve(lib):
+    for name in ("spasm_tpu_dense_back_solve",
+                 "spasm_tpu_dense_forward_solve"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_int64, ctypes.c_int64, _I64P, _I32P, _I32P,
+                       _I64P, _I64P, _I64P, ctypes.c_int64]
+
+
+def dense_trisolve_native(kind, A, b, perm, p):
+    """Sequential dense-RHS permuted triangular solve (csrc/trisolve_mod.c)
+    — the native port of solve.py's dense_back_solve / dense_forward_solve
+    loops.  kind: 'back' (x @ L == b, diag located by perm=p) or 'forward'
+    (x @ U == b, unit pivots located by perm=q).  Returns the solution
+    vector, None if unsolvable, or NotImplemented when the native library
+    is unavailable (caller falls back to the Python loop)."""
+    lib = _load("trisolve_mod", _configure_trisolve)
+    if lib is None:
+        return NotImplemented
+    b = np.ascontiguousarray(b, dtype=np.int64)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A.data, dtype=np.int32)
+    x = np.zeros(A.shape[0], dtype=np.int64)
+    fn = (lib.spasm_tpu_dense_back_solve if kind == "back"
+          else lib.spasm_tpu_dense_forward_solve)
+    rc = fn(A.shape[0], A.shape[1],
+            indptr.ctypes.data_as(_I64P), indices.ctypes.data_as(_I32P),
+            data.ctypes.data_as(_I32P), perm.ctypes.data_as(_I64P),
+            b.ctypes.data_as(_I64P), x.ctypes.data_as(_I64P), p)
+    return None if rc else x
+
+
 def release_native_scratch():
     """Free the persistent per-thread SPA arenas of the Schur kernels
     (csrc/schur_mod.c spasm_tpu_spa_release).  They are sized to the

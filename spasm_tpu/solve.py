@@ -423,10 +423,15 @@ def dense_back_solve(L: SparseGFp, b, p):
     """Solve x @ L == b densely; L (n x m) permuted lower-triangular with
     nonzero diagonal located by p (p[j] = row of the diagonal entry of
     column j) — ``spasm_dense_back_solve`` (src/SpaSM.jl:663-677)."""
+    from .native import dense_trisolve_native
+
     f = L.field
     n, m = L.shape
     b = np.asarray(f.normalize(np.asarray(b)), np.int64).copy()
     p = np.asarray(p, np.int64)
+    nat = dense_trisolve_native("back", L, b, p, f.p)
+    if nat is not NotImplemented:
+        return nat
     x = np.zeros(n, np.int64)
     for j in range(m - 1, -1, -1):
         if b[j] == 0:
@@ -448,10 +453,15 @@ def dense_forward_solve(U: SparseGFp, b, q):
     """Solve x @ U == b densely; U (n x m) permuted upper-triangular with
     unit pivots, q[i] = pivot column of row i —
     ``spasm_dense_forward_solve`` (src/SpaSM.jl:679-692)."""
+    from .native import dense_trisolve_native
+
     f = U.field
     n, m = U.shape
     b = np.asarray(f.normalize(np.asarray(b)), np.int64).copy()
     q = np.asarray(q, np.int64)
+    nat = dense_trisolve_native("forward", U, b, q, f.p)
+    if nat is not NotImplemented:
+        return nat
     x = np.zeros(n, np.int64)
     for i in range(n):
         j = q[i]
