@@ -45,6 +45,19 @@
 #include <omp.h>
 #endif
 
+/* race-free read of the shared early-exit flag (it is written with
+ * `omp atomic write`; a plain read would be a formal C data race) */
+static inline int flag_read(const int *p) {
+    int v;
+#ifdef _OPENMP
+#pragma omp atomic read
+    v = *p;
+#else
+    v = *p;
+#endif
+    return v;
+}
+
 static inline int64_t balanced(int64_t x, int64_t P, int64_t halfp) {
     int64_t r = x % P;
     if (r > halfp)
@@ -205,7 +218,7 @@ int64_t spasm_tpu_mutual_reduce(
          * global row indices — levels descend, so no collision) */
 #pragma omp parallel for schedule(dynamic) num_threads(nth)
         for (int tid = 0; tid < nth; tid++) {
-            if (!fail) {
+            if (!flag_read(&fail)) {
                 if (!spa_c[tid]) {
                     spa_c[tid] = (mr_cell *)malloc(sizeof(mr_cell) * (size_t)m);
                     spa_t[tid] = (int32_t *)malloc(sizeof(int32_t) * (size_t)m);
@@ -218,7 +231,7 @@ int64_t spasm_tpu_mutual_reduce(
                     }
                 }
             }
-            if (!fail) {
+            if (!flag_read(&fail)) {
                 int64_t r0 = lo + range[tid], r1 = lo + range[tid + 1];
                 int64_t cap = work[range[tid + 1]] - work[range[tid]] + 16;
                 int32_t *oj = (int32_t *)malloc(sizeof(int32_t) * (size_t)cap);

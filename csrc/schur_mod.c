@@ -27,6 +27,19 @@
 #include <omp.h>
 #endif
 
+/* race-free read of the shared early-exit flag (it is written with
+ * `omp atomic write`; a plain read would be a formal C data race) */
+static inline int flag_read(const int *p) {
+    int v;
+#ifdef _OPENMP
+#pragma omp atomic read
+    v = *p;
+#else
+    v = *p;
+#endif
+    return v;
+}
+
 static inline int64_t balanced(int64_t x, int64_t P, int64_t halfp) {
     int64_t r = x % P;
     if (r > halfp)
@@ -191,7 +204,7 @@ int64_t spasm_tpu_schur_update(
      * (OMP_DYNAMIC / thread limits can hand out fewer than requested) */
 #pragma omp parallel for schedule(dynamic) num_threads(nthreads)
     for (int tid = 0; tid < nthreads; tid++) {
-        if (!fail) {
+        if (!flag_read(&fail)) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
             int32_t *touched;
             int64_t tag0;
@@ -366,7 +379,7 @@ int64_t spasm_tpu_schur_update_ranged(
      * (OMP_DYNAMIC / thread limits can hand out fewer than requested) */
 #pragma omp parallel for schedule(dynamic) num_threads(nthreads)
     for (int tid = 0; tid < nthreads; tid++) {
-        if (!fail) {
+        if (!flag_read(&fail)) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
             int32_t *touched;
             int64_t tag0;
@@ -539,7 +552,7 @@ int64_t spasm_tpu_schur_update_qinv(
      * (OMP_DYNAMIC / thread limits can hand out fewer than requested) */
 #pragma omp parallel for schedule(dynamic) num_threads(nthreads)
     for (int tid = 0; tid < nthreads; tid++) {
-        if (!fail) {
+        if (!flag_read(&fail)) {
             int64_t r0 = range[tid], r1 = range[tid + 1];
             int32_t *touched;
             int64_t tag0;

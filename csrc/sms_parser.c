@@ -184,8 +184,12 @@ int64_t spasm_tpu_parse_sms_par(const char *buf, int64_t len,
     if (!ok) return -1;
     header[0] = n;
     header[1] = m;
-    /* skip the field-marker token (to the end of the header line) */
-    while (p < end && *p != '\n')
+    /* skip separators + the field-marker token ONLY (not the whole line):
+     * the sequential parser and the NumPy fallback tokenize purely by
+     * whitespace, so a degenerate layout whose first triple shares the
+     * header line must not lose that triple.  Stop at the first digit or
+     * sign — the start of the first triple, wherever it sits. */
+    while (p < end && !(*p >= '0' && *p <= '9') && *p != '-')
         p++;
     const char *body = p;
     int64_t blen = end - body;

@@ -4,6 +4,12 @@ A from-scratch re-design of the capabilities of SpaSM / SpaSM.jl (sparse
 direct solver mod p) for TPU hardware: JAX/XLA/Pallas compute kernels, host
 NumPy orchestration, jax.sharding multi-chip scale-out.  See SURVEY.md for
 the reference feature map this implements.
+
+Memory note: the native Schur/elimination kernels keep per-worker sparse
+accumulators sized to the largest column count ever processed (~24 bytes x
+m per thread) for the life of the process — the same high-water-mark policy
+as the tuned allocator.  Long-lived embedders can reclaim that scratch
+after a one-off huge problem with :func:`release_native_scratch`.
 """
 
 import os as _os
@@ -35,6 +41,7 @@ from .certificate import (RankCertificate, certificate_rank_create,
                           certificate_rank_verify, factorization_verify,
                           rank_certificate_load, rank_certificate_save)
 from .checkpoint import load_lu, save_lu
+from .native import release_native_scratch
 from .utils.logging import set_log, wtime
 
 __version__ = "0.1.0"
@@ -48,5 +55,6 @@ __all__ = [
     "dense_back_solve", "dense_forward_solve", "gesv", "kernel",
     "kernel_from_rref", "kernel_pivots", "rank", "rref", "rref_of_U",
     "solve", "sparse_triangular_solve",
+    "release_native_scratch",
     "set_log", "wtime",
 ]

@@ -924,6 +924,11 @@ def prng_blocks_native(seed, prime, seq, counter, nblocks):
     bit-identical to hashlib over the 44-byte spasm_prng_ctx block
     (certificate.py SpasmPRNG).  Returns a uint32 array, or None when
     unavailable."""
+    if counter + nblocks > 1 << 32:
+        # the 44-byte ctx block stores the counter as a u32; the C kernel
+        # would silently wrap and repeat the stream — refuse instead, so
+        # the hashlib fallback fails loudly via struct.pack('<I')
+        return None
     lib = _load("prng_mod", _configure_prng, extra_flags=("-fopenmp",))
     if lib is None:
         return None

@@ -181,6 +181,32 @@ def test_dense_back_solve_unsolvable(rng):
     assert dense_back_solve(L, np.array([0, 1]), np.array([0, 1])) is None
 
 
+# ---------------- parallel SMS parser degenerate layout ----------------
+
+
+def test_parallel_parser_first_triple_on_header_line():
+    """A >=4MiB SMS buffer whose first triple shares the header line must
+    parse identically to the sequential/NumPy tokenizers (which split
+    purely by whitespace) — the parallel parser used to skip to the first
+    newline and silently lose that triple (ADVICE r4)."""
+    from spasm_tpu.native import parse_sms_native
+
+    k = 420_000
+    rows = np.arange(1, k + 1)
+    lines = [f"{i} {1 + (i % 7)} {1 + (i % 11)}" for i in rows]
+    # header and FIRST triple share a line; no trailing terminator
+    raw = (f"{k} 12 M {lines[0]}\n" + "\n".join(lines[1:]) + "\n").encode()
+    assert len(raw) >= (1 << 22), "buffer must take the parallel path"
+    parsed = parse_sms_native(raw)
+    if parsed is None:
+        pytest.skip("no C compiler available")
+    n, m, i, j, v = parsed
+    assert (n, m) == (k, 12)
+    assert len(i) == k
+    assert i[0] == 1 and j[0] == 2 and v[0] == 2
+    assert i[-1] == k
+
+
 # ---------------- PRNG byte-convention variants ----------------
 
 
