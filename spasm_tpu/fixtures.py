@@ -81,6 +81,97 @@ def expected_boundary_rank(n: int, k: int) -> int:
     return comb(n - 1, k)
 
 
+def subcomplex_boundary(n: int, k: int, keep: float = 0.8,
+                        seed: int = 0, p: int = DEFAULT_PRIME) -> SparseGFp:
+    """Boundary of a RANDOM SUBCOMPLEX of the full simplex: delete a
+    random (1-keep) fraction of the k-faces, then every (k+1)-face with a
+    deleted facet.  Unlike the full simplex (perfectly uniform weights —
+    a best case for Faugere-Lachartre pivot search), the surviving
+    k-faces have irregular coface counts and the column pattern is
+    random-structured, matching the GL7d/relat workload class better
+    (SURVEY.md section 0).  d o d = 0 still holds (it is a complex), so
+    certificates/kernels remain meaningful; the rank has no closed form —
+    validate against the oracle or certificates.
+
+    Columns are restricted to the surviving k-faces (reindexed dense);
+    rows are the surviving (k+1)-faces.
+    """
+    if not (0 < keep <= 1):
+        raise ValueError(f"need 0 < keep <= 1, got {keep}")
+    import scipy.sparse as sp
+
+    B = simplex_boundary(n, k, p)
+    rng = np.random.default_rng(seed)
+    ncol = B.shape[1]
+    keep_col = rng.random(ncol) < keep
+    # a row survives iff all of its k+1 facets survive (every row of a
+    # full-simplex boundary has exactly k+1 entries — no empty rows)
+    row_ok = np.logical_and.reduceat(keep_col[B.indices], B.indptr[:-1])
+    S = B.to_scipy()[np.flatnonzero(row_ok)][:, np.flatnonzero(keep_col)]
+    return SparseGFp.from_scipy(sp.csr_matrix(S), field(p).p,
+                                assume_canonical=True)
+
+
+def zipf_sparse(f_or_p, n: int, m: int, mean_nnz: float = 8.0,
+                alpha: float = 1.3, seed: int = 0) -> SparseGFp:
+    """Random matrix with ZIPF-SKEWED row weights (a few heavy rows, a
+    long tail of light ones) — adversarial for pivot heuristics tuned on
+    uniform-weight boundaries (VERDICT r4 'What's weak' item 7)."""
+    f = f_or_p if not isinstance(f_or_p, int) else field(f_or_p)
+    rng = np.random.default_rng(seed)
+    w = rng.zipf(alpha, size=n).astype(np.int64)
+    w = np.minimum(w * max(1, int(mean_nnz // 2)), m)
+    cols = [np.sort(rng.choice(m, size=int(wi), replace=False))
+            for wi in w]
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(w, out=indptr[1:])
+    indices = np.concatenate(cols) if n else np.zeros(0, np.int64)
+    data = rng.integers(1, f.p, size=indices.size)
+    return SparseGFp(f, n, m, indptr, indices, _balance(data, f.p))
+
+
+def _balance(v: np.ndarray, p: int) -> np.ndarray:
+    r = np.remainder(v, p)
+    return np.where(r > p // 2, r - p, r).astype(np.int64)
+
+
+def mixed_block_matrix(f_or_p, seed: int = 0, scale: int = 1,
+                       permute: bool = True) -> SparseGFp:
+    """Block-diagonal mix of heterogeneous structures — a small boundary
+    block, a random low-rank product (rank-deficient by construction), a
+    dense-ish random block and a zipf-skewed hyper-sparse block — under
+    random row/column permutations.  Mixed densities + skewed weights +
+    hidden low-rank structure exercise pivot search, density estimation
+    and the dense/low-rank finishes off the uniform-boundary happy path
+    (VERDICT r4 missing item 5).  Rank is validated against the big-int
+    oracle / certificates in the tests."""
+    import scipy.sparse as sp
+
+    f = f_or_p if not isinstance(f_or_p, int) else field(f_or_p)
+    rng = np.random.default_rng(seed)
+    s = scale
+    bd = simplex_boundary(9, 3, f.p)                    # rank C(8,3)=56
+    r_lr = 20 * s
+    X = sp.random(80 * s, r_lr, density=0.3, random_state=rng,
+                  data_rvs=lambda k: rng.integers(1, min(f.p, 1 << 20), k),
+                  dtype=np.int64)
+    Y = sp.random(r_lr, 90 * s, density=0.3, random_state=rng,
+                  data_rvs=lambda k: rng.integers(1, min(f.p, 1 << 20), k),
+                  dtype=np.int64)
+    lowrank = SparseGFp.from_scipy(
+        (X.astype(np.int64) @ Y.astype(np.int64)).tocsr(), f.p)
+    dense = SparseGFp.rand(f, 60 * s, 50 * s, 0.5, rng)
+    zipf = zipf_sparse(f, 120 * s, 100 * s, mean_nnz=6.0, seed=seed + 1)
+    blocks = [SparseGFp.from_scipy(bd.to_scipy(), f.p), lowrank, dense,
+              zipf]
+    A = sp.block_diag([b.to_scipy() for b in blocks], format="csr")
+    if permute:
+        pr = rng.permutation(A.shape[0])
+        pc = rng.permutation(A.shape[1])
+        A = A[pr][:, pc]
+    return SparseGFp.from_scipy(sp.csr_matrix(A), f.p)
+
+
 def _combs_colex(n: int, k: int, _memo=None) -> np.ndarray:
     """All ascending k-subsets of range(n) as a (C(n, k), k) **int8**
     array in colex order, built by the vectorized recursion
