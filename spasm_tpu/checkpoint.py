@@ -85,6 +85,63 @@ def load_state(path: str) -> dict:
     return out
 
 
+# ---------------- dense-finish block-granular state ----------------
+#
+# The round-granular state above stops at the sparse rounds; a long dense
+# finish (the d10-scale tail case) gets its own sidecar (`<path>.dense`)
+# saved every few blocks by the blocked loops in echelonize.py.  The
+# sidecar is validated against the finish inputs (prime, accumulated rank
+# r0, tail nnz/shape) so a stale file from a different matrix or round is
+# ignored rather than resumed.
+
+DENSE_SCHEMA = 1
+
+
+def save_dense_state(path: str, *, field_p: int, r0: int, s_nnz: int,
+                     n_s: int, na: int, b0: int, Uh, piv_cols_loc,
+                     piv_rows_glob, dry_blocks: int) -> None:
+    """Persist mid-dense-finish state (atomic): the accumulated dense RREF
+    `Uh` (rank_tail x na), the pivot bookkeeping, and the next block start
+    `b0`."""
+    Usp = sp.csr_matrix(np.asarray(Uh, np.int64))
+    payload = dict(
+        dense_schema=DENSE_SCHEMA, field_p=field_p, r0=r0, s_nnz=s_nnz,
+        n_s=n_s, na=na, b0=b0, dry_blocks=dry_blocks,
+        U_shape=np.array(Usp.shape), U_indptr=Usp.indptr,
+        U_indices=Usp.indices, U_data=Usp.data,
+        piv_cols_loc=np.asarray(piv_cols_loc, np.int64),
+        piv_rows_glob=np.asarray(piv_rows_glob, np.int64),
+    )
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(fh, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_dense_state(path: str) -> dict:
+    with np.load(path, allow_pickle=False) as z:
+        if int(z["dense_schema"]) != DENSE_SCHEMA:
+            raise ValueError(
+                f"unknown dense checkpoint schema {int(z['dense_schema'])}")
+        U = sp.csr_matrix((z["U_data"], z["U_indices"], z["U_indptr"]),
+                          shape=tuple(z["U_shape"]))
+        return dict(
+            field_p=int(z["field_p"]), r0=int(z["r0"]),
+            s_nnz=int(z["s_nnz"]), n_s=int(z["n_s"]), na=int(z["na"]),
+            b0=int(z["b0"]), dry_blocks=int(z["dry_blocks"]),
+            Uh=np.asarray(U.todense(), np.int64),
+            piv_cols_loc=z["piv_cols_loc"].tolist(),
+            piv_rows_glob=z["piv_rows_glob"].tolist(),
+        )
+
+
 # ---------------- whole-factorization persistence ----------------
 #
 # The reference's persistence story is SMS matrix files + savable CSR

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 import scipy.sparse as sp
@@ -238,6 +239,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     r = 0
 
     round_idx = 0
+    dense_resume = None
     if resume:
         from . import checkpoint as ckpt
 
@@ -255,6 +257,14 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         L_parts.extend(state["L_parts"])
         L_rev_segments.extend(state.get("L_rev_segments", []))
         log(f"[echelonize] resumed at round {round_idx}, rank {r}")
+        # block-granular dense-finish sidecar: resume mid-finish if one
+        # was saved (validated in _dense_finish_blocked against the actual
+        # finish inputs, so a stale sidecar is ignored, not resumed)
+        if os.path.exists(resume + ".dense"):
+            dense_resume = ckpt.load_dense_state(resume + ".dense")
+            log(f"[echelonize] dense-finish sidecar found "
+                f"(b0={dense_resume['b0']}, "
+                f"{len(dense_resume['piv_cols_loc'])} pivots)")
 
     if checkpoint and not resume:
         # initial checkpoint: a run that dense-switches at round 0 (or
@@ -462,8 +472,13 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                           or (opts.enable_tall_and_skinny
                               and nrows > opts.tall_and_skinny_ratio * na)))
         if use_dense:
-            blk = _dense_finish_blocked(f, S, row_origin, alive_cols, r,
-                                        opts, L_parts)
+            # a resume-only run keeps checkpointing (and finally cleans)
+            # the sidecar it was resumed from
+            ckpt_base = checkpoint or resume
+            blk = _dense_finish_blocked(
+                f, S, row_origin, alive_cols, r, opts, L_parts,
+                ckpt_path=(ckpt_base + ".dense" if ckpt_base else None),
+                dense_resume=dense_resume)
             if blk is not None:
                 dense_piv_start = r
         else:
@@ -786,8 +801,14 @@ def schur_estimate_density(f: Field, U_sp, piv_cols, levels, S_rest,
     return out.nnz / max(1, out.shape[0] * m)
 
 
+# minimum seconds between dense-finish sidecar saves (tests set 0 so
+# every block checkpoints; production pays at most one compressed write
+# of the accumulated RREF per interval)
+DENSE_CKPT_INTERVAL_S = 60.0
+
+
 def _dense_finish_blocked(f: Field, S, row_origin, alive_cols, r0, opts,
-                          L_parts):
+                          L_parts, ckpt_path=None, dense_resume=None):
     """Blocked dense finish — the FFPACK-replacement path
     (``spasm_schur_dense`` / ``spasm_ffpack_rref`` / tall-and-skinny +
     ``spasm_schur_dense_randomized``, src/SpaSM.jl:760-812).
@@ -821,17 +842,36 @@ def _dense_finish_blocked(f: Field, S, row_origin, alive_cols, r0, opts,
     rows_all, cols_all, vals_all = (rows_all[order], cols_all[order],
                                     vals_all[order])
 
+    # validate a dense-finish sidecar against the actual finish inputs; a
+    # stale file (different matrix / round / tail) is ignored
+    if dense_resume is not None:
+        want = dict(field_p=f.p, r0=r0, s_nnz=int(S.nnz), n_s=n_s, na=na)
+        if any(dense_resume.get(k) != v for k, v in want.items()):
+            log("[echelonize/dense] sidecar does not match this finish; "
+                "starting from block 0")
+            dense_resume = None
+        else:
+            log(f"[echelonize/dense] resuming at block offset "
+                f"{dense_resume['b0']}")
+    ckpt_meta = dict(field_p=f.p, r0=r0, s_nnz=int(S.nnz), n_s=n_s, na=na)
+
     device_mode = bs * na >= dense_ops.host_cutoff_for(f)
     log(f"[echelonize/dense] processing {n_s} x {na} in blocks of {bs} "
         f"({'device' if device_mode else 'host'})")
     if device_mode:
         t_dev = wtime()
         result = _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all,
-                                      vals_all, opts)
+                                      vals_all, opts, ckpt_path=ckpt_path,
+                                      resume_state=dense_resume,
+                                      ckpt_meta=ckpt_meta)
         _DEVICE_FINISH_WALL[0] += wtime() - t_dev
     else:
         result = _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all,
-                                    vals_all, opts)
+                                    vals_all, opts, ckpt_path=ckpt_path,
+                                    resume_state=dense_resume,
+                                    ckpt_meta=ckpt_meta)
+    if ckpt_path and os.path.exists(ckpt_path):
+        os.unlink(ckpt_path)  # finish completed; the sidecar is stale now
     if result is None:
         return None
     Usp_local, piv_cols_loc, piv_rows_glob = result
@@ -856,7 +896,19 @@ def _block_slice(rows_all, cols_all, vals_all, b0, b1):
     return rows_all[lo:hi] - b0, cols_all[lo:hi], vals_all[lo:hi]
 
 
-def _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all, vals_all, opts):
+def _save_dense_ckpt(ckpt_path, ckpt_meta, b0, Uh, piv_cols_loc,
+                     piv_rows_glob, dry_blocks):
+    from . import checkpoint as ckpt
+
+    ckpt.save_dense_state(ckpt_path, b0=b0, Uh=Uh,
+                          piv_cols_loc=piv_cols_loc,
+                          piv_rows_glob=piv_rows_glob,
+                          dry_blocks=dry_blocks, **ckpt_meta)
+    log(f"[echelonize/dense] checkpoint saved at block offset {b0}")
+
+
+def _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all, vals_all, opts,
+                       ckpt_path=None, resume_state=None, ckpt_meta=None):
     from .sputil import dense_matmul_host
 
     Uh = np.zeros((0, na), np.int64)
@@ -864,6 +916,13 @@ def _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all, vals_all, opts):
     piv_rows_glob: list[int] = []
     dry_blocks = 0
     b0 = 0
+    if resume_state is not None:
+        Uh = resume_state["Uh"]
+        piv_cols_loc = list(resume_state["piv_cols_loc"])
+        piv_rows_glob = list(resume_state["piv_rows_glob"])
+        dry_blocks = resume_state["dry_blocks"]
+        b0 = resume_state["b0"]
+    last_save = wtime()
     while b0 < n_s:
         b1 = min(n_s, b0 + bs)
         ri, ci, vi = _block_slice(rows_all, cols_all, vals_all, b0, b1)
@@ -887,6 +946,11 @@ def _blocked_host_loop(f, n_s, na, bs, rows_all, cols_all, vals_all, opts):
         else:
             dry_blocks += 1
         b0 = b1
+        if (ckpt_path and b0 < n_s
+                and wtime() - last_save >= DENSE_CKPT_INTERVAL_S):
+            _save_dense_ckpt(ckpt_path, ckpt_meta, b0, Uh, piv_cols_loc,
+                             piv_rows_glob, dry_blocks)
+            last_save = wtime()
         if (_low_rank_mode(opts, len(piv_cols_loc), b0, n_s)
                 and dry_blocks >= 1 and not opts.L and piv_cols_loc):
             if _randomized_tail_is_dependent(
@@ -912,7 +976,8 @@ def _low_rank_mode(opts, rank_so_far, rows_processed, n_s):
 
 
 def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
-                         opts):
+                         opts, ckpt_path=None, resume_state=None,
+                         ckpt_meta=None):
     """Device-resident block loop: ONE fused jitted step per block
     (dense_ops.blocked_finish_step), U capacity preallocated to the rank
     upper bound so every block reuses the same compiled program."""
@@ -926,7 +991,8 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
     low_rank_possible = (opts.enable_tall_and_skinny and not opts.L
                          and n_s > opts.tall_and_skinny_ratio * na)
     n_pad = -(-n_s // bs_b) * bs_b
-    if not low_rank_possible and n_pad * na_b <= dense_ops.FUSED_BUDGET:
+    if (not low_rank_possible and resume_state is None
+            and n_pad * na_b <= dense_ops.FUSED_BUDGET):
         return _fused_device_finish(f, n_s, na, na_b, bs_b, rows_all,
                                     cols_all, vals_all)
     # rank can never exceed min(rows, cols); preallocate once
@@ -937,6 +1003,32 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
     piv_cols_loc: list[int] = []
     piv_rows_glob: list[int] = []
     dry_blocks = 0
+    b0_start = 0
+    if resume_state is not None:
+        piv_cols_loc = list(resume_state["piv_cols_loc"])
+        piv_rows_glob = list(resume_state["piv_rows_glob"])
+        dry_blocks = resume_state["dry_blocks"]
+        b0_start = resume_state["b0"]
+        r_res = len(piv_cols_loc)
+        if r_res:
+            Uh0 = np.zeros((r_res, na_b), np.int32)
+            Uh0[:, :na] = resume_state["Uh"]
+            Ud = Ud.at[:r_res].set(jnp.asarray(Uh0))
+            pc_map = pc_map.at[:r_res].set(
+                jnp.asarray(np.asarray(piv_cols_loc, np.int32)))
+            r_d_dev = jnp.int32(r_res)
+
+    def _extract_uh_host():
+        """Pull the accumulated RREF back as a host (r_d, na) dense block
+        (sidecar payload)."""
+        nnz_d = dense_ops.count_nonzero_device(Ud)
+        ecap = max(128, 1 << int(max(1, nnz_d - 1)).bit_length())
+        er, ec, ev = (np.asarray(x)
+                      for x in dense_ops.extract_sparse(Ud, ecap))
+        keep = (er >= 0) & (ec < na)
+        Uh = np.zeros((len(piv_cols_loc), na), np.int64)
+        Uh[er[keep], ec[keep]] = ev[keep]
+        return Uh
     # small device->host syncs are latency-bound (seconds over tunneled
     # links): pipeline with one block of lag, reading block k-1's pivot
     # metadata while block k computes
@@ -961,7 +1053,8 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
     # In low-rank mode the loop reads back each block's rank; otherwise
     # ALL metadata reads are deferred past the loop (sync-free pipeline).
     deferred = []
-    b0 = 0
+    last_save = wtime()
+    b0 = b0_start
     while b0 < n_s:
         b1 = min(n_s, b0 + bs)
         ri, ci, vi = _block_slice(rows_all, cols_all, vals_all, b0, b1)
@@ -982,13 +1075,32 @@ def _blocked_device_loop(f, n_s, na, bs, rows_all, cols_all, vals_all,
                 arr.copy_to_host_async()
             except AttributeError:  # pragma: no cover - non-jax backends
                 pass
+        ckpt_due = (ckpt_path and b1 < n_s
+                    and wtime() - last_save >= DENSE_CKPT_INTERVAL_S)
         if not low_rank_possible:
             deferred.append((b0, rank_d, prow_of, pcol_of))
             b0 = b1
+            if ckpt_due:
+                # sidecar save syncs the deferred metadata reads once,
+                # then pulls the accumulated RREF — amortized by the save
+                # interval, the steady-state pipeline stays sync-free
+                for item in deferred:
+                    _drain(item)
+                deferred.clear()
+                _save_dense_ckpt(ckpt_path, ckpt_meta, b0,
+                                 _extract_uh_host(), piv_cols_loc,
+                                 piv_rows_glob, dry_blocks)
+                last_save = wtime()
             continue
         _drain(pending)
         pending = (b0, rank_d, prow_of, pcol_of)
         b0 = b1
+        if ckpt_due:
+            _drain(pending)
+            pending = None
+            _save_dense_ckpt(ckpt_path, ckpt_meta, b0, _extract_uh_host(),
+                             piv_cols_loc, piv_rows_glob, dry_blocks)
+            last_save = wtime()
         if (dry_blocks >= 1 and piv_cols_loc
                 and _low_rank_mode(opts, len(piv_cols_loc), b0, n_s)):
             _drain(pending)

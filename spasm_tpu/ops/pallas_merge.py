@@ -66,7 +66,9 @@ def _merge_kernel_body(f: Field, W: int,
             lower = (lane & j) == 0
             asc = (lane & k) == 0 if k < W else jnp.bool_(True)
             want_larger = lower != asc
-            swap = jnp.where(want_larger, pc > cols, pc < cols)
+            # logical form, not where(bool, bool, bool): Mosaic lowers a
+            # bool select to an i8->i1 trunci it cannot compile
+            swap = (want_larger & (pc > cols)) | (~want_larger & (pc < cols))
             cols = jnp.where(swap, pc, cols)
             vals = jnp.where(swap, pv, vals)
             j //= 2
@@ -80,7 +82,8 @@ def _merge_kernel_body(f: Field, W: int,
     shift = 1
     while shift < W:
         v_prev = jnp.where(lane >= shift, pltpu.roll(v, shift, 1), 0)
-        f_prev = jnp.where(lane >= shift, pltpu.roll(flg, shift, 1), True)
+        # logical form (see the bitonic swap above for why)
+        f_prev = pltpu.roll(flg, shift, 1) | (lane < shift)
         v = jnp.where(flg, v, add(v, v_prev))
         flg = flg | f_prev
         shift <<= 1

@@ -62,6 +62,78 @@ def test_checkpoint_with_L(rng, tmp_path):
         F.normalize(x @ A.to_dense().astype(np.int64)), b)
 
 
+def test_dense_finish_checkpoint_resume(rng, tmp_path, monkeypatch):
+    """Block-granular dense-finish checkpoint: kill the run mid-finish,
+    resume from the sidecar, get the identical factorization — without
+    redoing the completed blocks."""
+    import importlib
+
+    from spasm_tpu import echelonize as ech_fn
+    from spasm_tpu.ops import dense as dense_ops
+
+    # the package rebinds the name `spasm_tpu.echelonize` to the function;
+    # importlib gets the module (for DENSE_CKPT_INTERVAL_S)
+    ech_mod = importlib.import_module("spasm_tpu.echelonize")
+
+    A = SparseGFp.rand(F, 500, 400, 0.3, rng)  # dense: finish at round 0
+    opts = dict(dense_block_size=64)
+    ref = ech_fn(A, **opts)
+
+    path = str(tmp_path / "dense.npz")
+    monkeypatch.setattr(ech_mod, "DENSE_CKPT_INTERVAL_S", 0.0)
+    calls = {"n": 0}
+    real_rref = dense_ops.rref
+
+    def failing_rref(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("simulated preemption")
+        return real_rref(*a, **kw)
+
+    monkeypatch.setattr(dense_ops, "rref", failing_rref)
+    with pytest.raises(RuntimeError, match="simulated preemption"):
+        ech_fn(A, checkpoint=path, **opts)
+    import os
+
+    assert os.path.exists(path + ".dense")  # sidecar survived the crash
+    monkeypatch.setattr(dense_ops, "rref", real_rref)
+
+    resumed_blocks = {"n": 0}
+
+    def counting_rref(*a, **kw):
+        resumed_blocks["n"] += 1
+        return real_rref(*a, **kw)
+
+    monkeypatch.setattr(dense_ops, "rref", counting_rref)
+    fact = ech_fn(A, resume=path, **opts)
+    assert fact.r == ref.r
+    assert rref_of_U(fact) == rref_of_U(ref)
+    # the resume skipped the already-completed blocks (500/64 = 8 total;
+    # 3 completed before the simulated crash)
+    assert resumed_blocks["n"] <= 6
+    assert not os.path.exists(path + ".dense")  # cleaned after completion
+
+
+def test_dense_finish_stale_sidecar_ignored(rng, tmp_path):
+    """A sidecar from a DIFFERENT matrix/finish must be ignored, not
+    resumed (validated against prime/r0/tail shape/nnz)."""
+    from spasm_tpu import checkpoint as ckpt
+
+    A = SparseGFp.rand(F, 300, 250, 0.3, rng)
+    path = str(tmp_path / "stale.npz")
+    ref = echelonize(A, dense_block_size=64)
+    # save a round checkpoint, then plant a mismatching sidecar
+    echelonize(A, checkpoint=path, dense_block_size=64)
+    ckpt.save_dense_state(path + ".dense", field_p=F.p, r0=999,
+                          s_nnz=1, n_s=1, na=1, b0=1,
+                          Uh=np.zeros((1, 1), np.int64),
+                          piv_cols_loc=[0], piv_rows_glob=[0],
+                          dry_blocks=0)
+    fact = echelonize(A, resume=path, dense_block_size=64)
+    assert fact.r == ref.r
+    assert rref_of_U(fact) == rref_of_U(ref)
+
+
 def test_phase_profiling():
     from spasm_tpu.utils.profiling import phase, phase_records, reset_phases
 
