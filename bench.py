@@ -24,6 +24,14 @@ VERDICT-r3 evidence items:
                   (p = 2147483629) and tier-C (p = 4294967291)
   certificate     d9 rank-certificate create (includes its L-recording
                   echelonize) and O(nnz) verify walls
+  device_flagship end-to-end rank dominated by the TPU dense finish
+                  (4096^2 d=0.01; device_share from phase attribution)
+  mfu             achieved / peak int8 utilization of the v5e MXU for the
+                  Pallas mod-p matmul at 4096^3 and the 4096^2 dense RREF
+  structured_large_prime  d7-scale boundary rank at tier-B/C primes +
+                  a >= 1M-nnz tier-B kernel basis (reduce_each=1 kernels)
+  irregular       rank of a random-subcomplex boundary (non-uniform
+                  row/column weights, GL7d/relat stand-in)
 
 Prints ONE JSON line:
   {"metric": ..., "value": nnz/s, "unit": "nnz/s", "vs_baseline": ratio,
@@ -200,6 +208,117 @@ def main():
                               "rank": out["rank"], "wall_s": wall_d,
                               "runs_s": runs_d}
 
+    # device flagship (VERDICT r4 item 3): an end-to-end rank whose wall is
+    # dominated by the TPU dense finish — random 4096^2 d=0.01 dense-
+    # switches at round 0/1, so the blocked MXU RREF does the work.
+    # device_share comes from the same phase attribution as the headline.
+    DF = st.SparseGFp.rand(f, 4096, 4096, 0.01, np.random.default_rng(5))
+    runs_df, df_phases, r_df = [], {}, None
+    for _ in range(2):
+        t0 = time.time()
+        r_df = st.rank(DF)
+        dt = round(time.time() - t0, 3)
+        if not runs_df or dt < min(runs_df):
+            df_phases = _ech_mod.last_phase_stats()
+        runs_df.append(dt)
+    device_flagship_detail = {
+        "case": "rank 4096x4096 d=0.01 mod 42013 (device dense finish)",
+        "nnz": DF.nnz, "rank": r_df, "wall_s": min(runs_df),
+        "runs_s": runs_df, "phases": df_phases,
+        "device_share": df_phases.get("device_share"),
+    }
+    del DF
+
+    # MFU (VERDICT r4 item 3): achieved fraction of the v5e's int8 MXU
+    # peak for (a) the Pallas mod-p matmul at 4096^3 and (b) the 4096^2
+    # tier-A dense RREF (the FFPACK-replacement at size).  Raw int8 ops =
+    # logical mod-p MACs x nl^2 limb products (field.num_limbs).
+    import jax
+    import jax.numpy as jnp
+
+    from spasm_tpu.field import num_limbs
+    from spasm_tpu.ops.matmul import modmatmul
+
+    V5E_INT8_PEAK_TOPS = 394.7  # TPU v5e: 197.4 bf16 Tflop/s, 2x for int8
+    nmm = 4096
+    rng_m = np.random.default_rng(6)
+    a_d = jnp.asarray(f.rand((nmm, nmm), rng_m).astype(np.int32))
+    b_d = jnp.asarray(f.rand((nmm, nmm), rng_m).astype(np.int32))
+    mm = jax.jit(lambda x, y: modmatmul(f, x, y))
+    jax.block_until_ready(mm(a_d, b_d))  # compile + warm
+    mm_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(mm(a_d, b_d))
+        mm_walls.append(time.time() - t0)
+    wall_mm = min(mm_walls)
+    nl = num_limbs(f.p)
+    logical_tops = 2 * nmm**3 / wall_mm / 1e12
+    raw_int8_tops = logical_tops * nl * nl
+    del a_d, b_d
+    X4 = f.rand((4096, 4096), np.random.default_rng(7)).astype(np.int64)
+    wall_r4, runs_r4, out4 = timed_reps(lambda: dense_ops.rref(f, X4), 2)
+    rref_mac_per_s = 4096**3 / wall_r4
+    mfu_detail = {
+        "v5e_int8_peak_tops": V5E_INT8_PEAK_TOPS,
+        "pallas_matmul_4096": {
+            "p": f.p, "limbs": nl, "wall_s": round(wall_mm, 4),
+            "runs_s": [round(w, 4) for w in mm_walls],
+            "logical_modp_tops": round(logical_tops, 2),
+            "raw_int8_tops": round(raw_int8_tops, 2),
+            "mfu": round(raw_int8_tops / V5E_INT8_PEAK_TOPS, 4),
+        },
+        "dense_rref_4096": {
+            "p": f.p, "rank": out4["rank"], "wall_s": wall_r4,
+            "runs_s": runs_r4,
+            "logical_mac_per_s": round(rref_mac_per_s, 1),
+            "raw_int8_mfu": round(
+                2 * rref_mac_per_s * nl * nl / (V5E_INT8_PEAK_TOPS * 1e12),
+                5),
+            "fraction_of_matmul_rate": round(
+                rref_mac_per_s / (nmm**3 / wall_mm), 5),
+        },
+    }
+    del X4
+
+    # tier-B/C at-scale sparse rounds (VERDICT r4 item 4): the d7-scale
+    # boundary rank with reduce_each=1 native kernels, and a >= 1M-nnz
+    # tier-B kernel basis
+    tier_structured = {}
+    for tier, p in (("tier_b", LARGE_PRIME_B), ("tier_c", LARGE_PRIME_C)):
+        Bt = simplex_boundary(BOUNDARY_N, BOUNDARY_K, p=p)
+        wall_t, runs_t, r_t = timed_reps(lambda: st.rank(Bt), 2)
+        assert r_t == comb(BOUNDARY_N - 1, BOUNDARY_K), (tier, r_t)
+        tier_structured[tier] = {
+            "case": f"rank d{BOUNDARY_K} boundary ({Bt.nnz} nnz) mod {p}",
+            "wall_s": wall_t, "runs_s": runs_t,
+            "nnz_per_s": round(Bt.nnz / wall_t, 1)}
+        if tier == "tier_b":
+            wall_kb, runs_kb, Kb = timed_reps(lambda: st.kernel(Bt), 2)
+            assert Kb.shape[0] == Bt.shape[1] - r_t
+            tier_structured["tier_b_kernel"] = {
+                "case": f"kernel basis d{BOUNDARY_K} boundary mod {p}",
+                "nnz": Bt.nnz, "kernel_rows": Kb.shape[0],
+                "wall_s": wall_kb, "runs_s": runs_kb}
+            del Kb
+        del Bt
+
+    # irregular-workload perf point (VERDICT r4 item 5): random subcomplex
+    # boundary — non-uniform row/column weights (GL7d/relat stand-in)
+    from spasm_tpu.fixtures import subcomplex_boundary
+
+    IR = subcomplex_boundary(22, 7, keep=0.8, seed=11)
+    wall_ir, runs_ir, r_ir = timed_reps(lambda: st.rank(IR), 2)
+    r_ir2 = st.rank(IR)
+    assert r_ir2 == r_ir
+    irregular_detail = {
+        "case": "rank subcomplex boundary n=22 k=7 keep=0.8 (irregular "
+                "row/col weights)",
+        "shape": list(IR.shape), "nnz": IR.nnz, "rank": r_ir,
+        "wall_s": wall_ir, "runs_s": runs_ir,
+        "nnz_per_s": round(IR.nnz / wall_ir, 1)}
+    del IR
+
     # d9 rank certificate: create (includes its own L-recording
     # echelonize) + O(nnz) verify (SURVEY 2.8 failure-detection subsystem)
     from spasm_tpu.certificate import matrix_hash
@@ -246,6 +365,10 @@ def main():
             "large_prime": large_prime_detail,
             "dense_rref": dense_detail,
             "certificate": cert_detail,
+            "device_flagship": device_flagship_detail,
+            "mfu": mfu_detail,
+            "structured_large_prime": tier_structured,
+            "irregular": irregular_detail,
         },
     }))
 

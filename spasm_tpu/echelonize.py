@@ -704,22 +704,43 @@ def _dense_feasible(S, opts) -> bool:
 
 
 def _device_sparse_schur(f: Field, mesh, U, pcols, levels, S_rest_sp):
-    """Round Schur update on device: sharded over a mesh when given, else
-    single-device sparse waves.  Capacity overflow retries once with a 4x
-    larger working buffer before giving up (returning None -> host
-    fallback)."""
-    S_rest = SparseGFp.from_scipy(S_rest_sp, f.p)
+    """Round Schur update on device.
+
+    With a mesh: host mutual-reduce of the round's pivot block, then the
+    one-pass batched merge with class tiles row-sharded over the mesh
+    (ops/sparse_onepass — SURVEY 2.11 item 1; the old per-shard wave path
+    remains as the overflow fallback).  Single device: the one-pass merge,
+    falling back to the sort-based waves on tile overflow."""
     if mesh is not None:
+        from .ops.sparse_onepass import eliminate_onepass_device
+
+        Ustar, ok = mutual_reduce(f, U.to_scipy(), pcols, levels)
+        if ok:
+            D = eliminate_onepass_device(f, Ustar, pcols, S_rest_sp,
+                                         mesh=mesh)
+            if D is not None:
+                return SparseGFp.from_scipy(D, f.p, assume_canonical=True)
         from .parallel.sparse_sharded import sharded_sparse_eliminate
 
+        log("[schur/device] one-pass unavailable; wave fallback over mesh")
+        S_rest = SparseGFp.from_scipy(S_rest_sp, f.p)
         out = sharded_sparse_eliminate(f, mesh, U, pcols, levels, S_rest)
         if out is None:
             log("[schur/device] capacity overflow; retrying at 4x cap")
             out = sharded_sparse_eliminate(f, mesh, U, pcols, levels,
                                            S_rest, cap_factor=32)
         return out
+    from .ops.sparse_onepass import eliminate_onepass_device
+
+    Ustar, ok = mutual_reduce(f, U.to_scipy(), pcols, levels)
+    if ok:
+        D = eliminate_onepass_device(f, Ustar, pcols, S_rest_sp)
+        if D is not None:
+            return SparseGFp.from_scipy(D, f.p, assume_canonical=True)
     from .ops.sparse_device import eliminate_device
 
+    log("[schur/device] one-pass unavailable; wave fallback")
+    S_rest = SparseGFp.from_scipy(S_rest_sp, f.p)
     out = eliminate_device(f, U, pcols, levels, S_rest)
     if out is None:
         log("[schur/device] capacity overflow; retrying at 4x cap")

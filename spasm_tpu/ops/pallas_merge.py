@@ -75,24 +75,26 @@ def _merge_kernel_body(f: Field, W: int,
         k *= 2
 
     # --- segmented inclusive modular sum over equal-col runs ---------------
+    # flags ride as int32 0/1: Mosaic cannot tpu.dynamic_rotate i1 vectors
     prev_col = pltpu.roll(cols, 1, 1)
-    change = (lane == 0) | (cols != prev_col)
+    change = ((lane == 0) | (cols != prev_col)).astype(jnp.int32)
     v = vals
     flg = change
     shift = 1
     while shift < W:
         v_prev = jnp.where(lane >= shift, pltpu.roll(v, shift, 1), 0)
-        # logical form (see the bitonic swap above for why)
-        f_prev = pltpu.roll(flg, shift, 1) | (lane < shift)
-        v = jnp.where(flg, v, add(v, v_prev))
-        flg = flg | f_prev
+        f_prev = jnp.maximum(pltpu.roll(flg, shift, 1),
+                             (lane < shift).astype(jnp.int32))
+        v = jnp.where(flg > 0, v, add(v, v_prev))
+        flg = jnp.maximum(flg, f_prev)
         shift <<= 1
     next_col = pltpu.roll(cols, W - 1, 1)
     last = (lane == W - 1) | (cols != next_col)
     keep = last & (v != 0) & (cols < m)
     ocols_ref[:] = cols
     ovals_ref[:] = v
-    keep_ref[:] = keep
+    # int32 mask out (i1 VMEM stores are another Mosaic unsupported case)
+    keep_ref[:] = keep.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -109,7 +111,7 @@ def merge_rows_pallas(f: Field, tile_cols, tile_vals, m):
     grid = (R // RB,)
     kern = functools.partial(_merge_kernel_body, f, W)
     m_arr = jnp.asarray(m, jnp.int32).reshape(1)
-    return pl.pallas_call(
+    cols_s, v, keep_i = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -125,6 +127,7 @@ def merge_rows_pallas(f: Field, tile_cols, tile_vals, m):
         out_shape=[
             jax.ShapeDtypeStruct((R, W), jnp.int32),
             jax.ShapeDtypeStruct((R, W), jnp.int32),
-            jax.ShapeDtypeStruct((R, W), jnp.bool_),
+            jax.ShapeDtypeStruct((R, W), jnp.int32),
         ],
     )(m_arr, tile_cols, tile_vals)
+    return cols_s, v, keep_i.astype(jnp.bool_)

@@ -149,14 +149,23 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
                              max_tile_slots: int = 1 << 27,
                              min_class_rows: int = 2048,
                              use_pallas: bool | None = None,
+                             mesh=None, mesh_axis: str = "rows",
                              _stats: dict | None = None):
     """Device one-pass Schur: D = B - B[:, piv_cols] @ U* (mod p).
 
     Ustar: scipy CSR, MUTUALLY REDUCED (unit pivots, no entries in other
     pivot columns — elimination.mutual_reduce).  B: scipy CSR.  Returns a
-    canonical scipy CSR equal to the host eliminate_against_reduced, or
-    None when a single class would exceed ``max_tile_slots`` padded slots
-    (caller falls back to the host kernel).
+    canonical scipy CSR equal to the host eliminate_against_reduced.
+    Classes wider than ``max_tile_slots`` padded slots stream through
+    fixed-height row chunks; only a pathological single-tile overflow
+    returns None (caller falls back to the host kernel).
+
+    With ``mesh``, each class tile is row-sharded over the mesh
+    (NamedSharding on ``mesh_axis``; U* tiles replicated — the pivot-row
+    all-gather role): every merge stage is row-parallel, so the jitted
+    class call partitions with no collectives until the final compaction.
+    This is the multi-chip sparse-Schur path of SURVEY section 2.11
+    item 1.
     """
     Ustar = sp.csr_matrix(Ustar)
     B = sp.csr_matrix(B)
@@ -204,18 +213,45 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
     u_idx = np.asarray(Ustar.indices, np.int64)
     u_val = np.asarray(Ustar.data, np.int64)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        shard_rows_nd = NamedSharding(mesh, P(mesh_axis, None))
+        rep_nd = NamedSharding(mesh, P())
+        nsh = int(mesh.shape[mesh_axis])
+
+        def _put_tile(x):
+            return jax.device_put(jnp.asarray(x), shard_rows_nd)
+
+        def _put_rep(x):
+            return jax.device_put(jnp.asarray(x), rep_nd)
+    else:
+        nsh = 1
+        _put_tile = _put_rep = jnp.asarray
+
     out_cols_parts: list[np.ndarray] = []
     out_vals_parts: list[np.ndarray] = []
     out_rows_parts: list[np.ndarray] = []
     dev_calls = 0
     t_prep = t_dev = t_pull = 0.0
     import time as _time
-    for (Wb, H, Ku), rows_c in groups:
+    chunked = []
+    for key, rows_c in groups:
+        Wb, H, Ku = key
+        Wt = Wb + H * Ku
+        # row-chunk classes whose padded tile would exceed max_tile_slots:
+        # fixed pow2 chunk heights stream through one compiled shape
+        fit = max(max_tile_slots // max(Wt, 1), 1)
+        r_cap = max(_R_PAD, 1 << (fit.bit_length() - 1))  # pow2 floor
+        if _R_PAD * Wt > max_tile_slots:
+            return None  # a single minimal tile cannot fit (pathological)
+        for s in range(0, rows_c.size, r_cap):
+            chunked.append((key, rows_c[s:s + r_cap]))
+    for (Wb, H, Ku), rows_c in chunked:
         _t0 = _time.perf_counter()
         R = rows_c.size
-        R_pad = max(_R_PAD, _ceil_pow2(R))
-        if R_pad * (Wb + H * Ku) > max_tile_slots:
-            return None
+        R_pad = max(_R_PAD, _ceil_pow2(R), nsh)  # pow2 >= nsh divides
         L = lens[rows_c]
         total = int(L.sum())
         rowrep = np.repeat(np.arange(R, dtype=np.int64), L)
@@ -255,11 +291,12 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
         _t1 = _time.perf_counter()
         t_prep += _t1 - _t0
         if use_pallas is None:
-            use_pallas = jax.default_backend() in ("tpu", "axon")
+            use_pallas = (mesh is None
+                          and jax.default_backend() in ("tpu", "axon"))
         cols_d, vals_d, keep_d, cnt_d = _onepass_class(
-            f, jnp.asarray(b_cols), jnp.asarray(b_vals),
-            jnp.asarray(hit_k), jnp.asarray(hit_c), jnp.asarray(hit_ok),
-            jnp.asarray(u_cols), jnp.asarray(u_vals), m, bool(use_pallas))
+            f, _put_tile(b_cols), _put_tile(b_vals),
+            _put_tile(hit_k), _put_tile(hit_c), _put_tile(hit_ok),
+            _put_rep(u_cols), _put_rep(u_vals), m, bool(use_pallas))
         dev_calls += 1
         size = int(cnt_d)  # scalar sync; tiles stay device-resident
         _t2 = _time.perf_counter()
@@ -292,6 +329,7 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
         out_vals_parts.append(np.asarray(Dh.data, np.int64))
     if _stats is not None:
         _stats["classes"] = len(groups)
+        _stats["chunks"] = len(chunked)
         _stats["device_calls"] = dev_calls
         _stats["host_fallback_rows"] = nhost
         _stats["prep_s"] = round(t_prep, 4)

@@ -284,10 +284,12 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
         sel_p.append(q)
         # drop the accepted rows' entries (rows only ever become used)
         re, ci = re[~in_acc], ci[~in_acc]
-    # sequential mop-up on a bounded set of remaining candidates: the
-    # batched acceptance is conservative on cascade/chain structures
-    # (heavily overlapping supports) where the fractional-insertion rule
-    # shines — cap the Python loop so per-round host work stays bounded.
+    # sequential mop-up on the remaining candidates: the batched
+    # acceptance is conservative on cascade/chain structures (heavily
+    # overlapping supports) where the fractional-insertion rule shines —
+    # the Python loop continues in cap-sized batches while productive
+    # (matching the reference's unbounded greedy) and stops after one
+    # low-yield batch (bounded host work on unproductive tails).
     # Skipped when the batched passes PROVED exhaustion (empty eligible
     # set): the per-row loop applies the identical insertion rule.  Also
     # skippable by the caller (mopup=False) when the round is likely to
@@ -309,16 +311,31 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
 
 def _greedy_sequential(A, col_selected, row_used, piv_pos_of_col,
                        col_touch_max, col_counts, lengths, cap=4096):
-    """Sequential fractional-insertion greedy over at most ``cap`` lightest
-    unused rows (the exact per-row rule; see greedy_pivots docstring)."""
+    """Sequential fractional-insertion greedy over the unused rows in
+    lightest-first order (the exact per-row rule; see greedy_pivots
+    docstring).
+
+    Yield-adaptive continuation: rows are processed in ``cap``-sized
+    batches; the loop keeps going while a batch accepts at least 1/64 of
+    its rows.  A productive instance therefore harvests like the
+    reference's UNBOUNDED greedy (every extra pivot here saves a whole
+    Schur round), while an unproductive tail — the case the old hard
+    4096-row cap protected against — still stops after one dry batch of
+    bounded host work."""
     indptr, indices = A.indptr, A.indices
     cand = np.flatnonzero((~row_used) & (lengths > 0))
-    if cand.size > cap:
-        cand = cand[np.argsort(lengths[cand], kind="stable")[:cap]]
-    else:
-        cand = cand[np.argsort(lengths[cand], kind="stable")]
+    cand = cand[np.argsort(lengths[cand], kind="stable")]
     sel_r, sel_c, sel_p = [], [], []
-    for i in cand:
+    done = 0
+    accepted_in_batch = 0
+    batch_end = min(cap, cand.size)
+    for pos in range(cand.size):
+        if pos == batch_end:
+            if accepted_in_batch * 64 < cap:
+                break  # dry batch: stop, bounded host work
+            accepted_in_batch = 0
+            batch_end = min(batch_end + cap, cand.size)
+        i = cand[pos]
         ji = indices[indptr[i]:indptr[i + 1]]
         free = ji[~col_selected[ji]]
         if free.size == 0:
@@ -344,6 +361,7 @@ def _greedy_sequential(A, col_selected, row_used, piv_pos_of_col,
         sel_r.append(i)
         sel_c.append(j)
         sel_p.append(q)
+        accepted_in_batch += 1
     return (np.array(sel_r, np.int64), np.array(sel_c, np.int64),
             np.array(sel_p, np.float64))
 

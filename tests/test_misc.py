@@ -145,3 +145,27 @@ def test_human_format():
     assert human_format(1500) == "1.5k"
     assert human_format(2_500_000) == "2.5M"
     assert human_format(3_200_000_000) == "3.2G"
+
+
+def test_greedy_mopup_unbounded_when_productive():
+    """The sequential greedy mop-up continues past its batch size while
+    productive (VERDICT r4 weak 7: the old hard 4096-row cap could leave
+    harvestable pivots to extra Schur rounds).  Star instance: row 0 =
+    {0}, row i = {0, i} — FL takes one row for column 0, FL-cols is
+    blocked by the column-0 hit on every row, and the fractional-
+    insertion greedy can take EVERY remaining row (disjoint free
+    columns).  The full harvest must land in a single round."""
+    import spasm_tpu as st
+    from spasm_tpu.pivots import find_structural_pivots
+
+    n = 9000  # > 2x the old cap
+    i_idx = np.concatenate([[0], np.repeat(np.arange(1, n), 2)])
+    j_idx = np.concatenate(
+        [[0], np.stack([np.zeros(n - 1, np.int64),
+                        np.arange(1, n)], 1).ravel()])
+    A = SparseGFp.from_coo(F, n, n, i_idx, j_idx,
+                           np.ones(i_idx.size, np.int64))
+    prows, pcols, counts = find_structural_pivots(A)
+    assert prows.size == n
+    assert counts["greedy"] == n - 1
+    assert st.rank(A) == n

@@ -79,6 +79,43 @@ def test_onepass_irregular_many_classes(rng):
     assert stats["classes"] + (stats["host_fallback_rows"] > 0) >= 1
 
 
+def test_onepass_row_chunking_exact():
+    """A tiny max_tile_slots forces the big classes through fixed-height
+    row chunks; the spliced result stays CSR-exact."""
+    from spasm_tpu.fixtures import simplex_boundary
+
+    A = simplex_boundary(14, 5)
+    f, Ustar, pcols, S_rest = _round0(A)
+    Dh, _ = E.eliminate_against_reduced(f, Ustar, pcols, S_rest,
+                                        assume_canonical=True)
+    stats = {}
+    Dd = eliminate_onepass_device(f, Ustar, pcols, sp.csr_matrix(S_rest),
+                                  max_tile_slots=1 << 17, min_class_rows=0,
+                                  _stats=stats)
+    assert Dd is not None and _csr_equal(Dh, Dd)
+    assert stats["chunks"] > stats["classes"]  # chunking actually engaged
+
+
+def test_onepass_mesh_sharded_exact(rng):
+    """Class tiles row-sharded over a CPU mesh produce the identical
+    result (SURVEY 2.11 item 1 path)."""
+    import jax
+    from jax.sharding import Mesh
+
+    f = st.field(42013)
+    A = SparseGFp.rand(f, 400, 250, 0.05, rng)
+    prows, _, _ = find_structural_pivots(A)
+    if len(prows) == 0:
+        pytest.skip("no pivots")
+    f, Ustar, pcols, S_rest = _round0(A)
+    Dh, _ = E.eliminate_against_reduced(f, Ustar, pcols, S_rest,
+                                        assume_canonical=True)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("rows",))
+    Dd = eliminate_onepass_device(f, Ustar, pcols, sp.csr_matrix(S_rest),
+                                  min_class_rows=0, mesh=mesh)
+    assert Dd is not None and _csr_equal(Dh, Dd)
+
+
 def test_onepass_subcomplex_boundary():
     A = subcomplex_boundary(11, 3, keep=0.8, seed=1)
     f, Ustar, pcols, S_rest = _round0(A)
