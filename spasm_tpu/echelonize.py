@@ -711,13 +711,17 @@ def _device_sparse_schur(f: Field, mesh, U, pcols, levels, S_rest_sp):
     (ops/sparse_onepass — SURVEY 2.11 item 1; the old per-shard wave path
     remains as the overflow fallback).  Single device: the one-pass merge,
     falling back to the sort-based waves on tile overflow."""
+    # CPU emulation meshes pay the merge in host cycles — keep the padded
+    # work budget a device-tile's worth there; real accelerators get the
+    # full budget
+    budget = (1 << 30) if _on_accelerator() else (1 << 27)
     if mesh is not None:
         from .ops.sparse_onepass import eliminate_onepass_device
 
         Ustar, ok = mutual_reduce(f, U.to_scipy(), pcols, levels)
         if ok:
             D = eliminate_onepass_device(f, Ustar, pcols, S_rest_sp,
-                                         mesh=mesh)
+                                         mesh=mesh, work_budget=budget)
             if D is not None:
                 return SparseGFp.from_scipy(D, f.p, assume_canonical=True)
         from .parallel.sparse_sharded import sharded_sparse_eliminate
@@ -734,7 +738,8 @@ def _device_sparse_schur(f: Field, mesh, U, pcols, levels, S_rest_sp):
 
     Ustar, ok = mutual_reduce(f, U.to_scipy(), pcols, levels)
     if ok:
-        D = eliminate_onepass_device(f, Ustar, pcols, S_rest_sp)
+        D = eliminate_onepass_device(f, Ustar, pcols, S_rest_sp,
+                                     work_budget=budget)
         if D is not None:
             return SparseGFp.from_scipy(D, f.p, assume_canonical=True)
     from .ops.sparse_device import eliminate_device

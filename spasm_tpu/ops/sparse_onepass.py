@@ -141,12 +141,55 @@ def _compact_class(tile_cols, tile_vals, keep, size):
     return rows, tile_cols.reshape(-1)[flat], tile_vals.reshape(-1)[flat]
 
 
+@functools.lru_cache(maxsize=64)
+def _compact_sharded_fn(mesh, axis, Rl, Wt, size_pad):
+    from jax.sharding import PartitionSpec as P
+
+    def body(tc, tv, kp):
+        kflat = kp.reshape(-1)
+        flat = jnp.nonzero(kflat, size=size_pad, fill_value=Rl * Wt)[0]
+        cnt = kflat.sum()
+        safe = jnp.minimum(flat, Rl * Wt - 1).astype(jnp.int32)
+        rows = (safe // jnp.int32(Wt)
+                + jax.lax.axis_index(axis).astype(jnp.int32)
+                * jnp.int32(Rl))
+        return (rows[None], tc.reshape(-1)[safe][None],
+                tv.reshape(-1)[safe][None],
+                cnt.astype(jnp.int32)[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis))))
+
+
+def _compact_class_sharded(mesh, axis, tile_cols, tile_vals, keep,
+                           size_pad):
+    """Per-shard compaction under a mesh: a GLOBAL size-bounded
+    jnp.nonzero over a row-sharded tile makes GSPMD serialize the whole
+    cumsum through collectives (measured: stuck for minutes at 33M slots
+    on the CPU mesh) — so each shard compacts its local block to the
+    shared static capacity and the host splices via per-shard counts."""
+    R, Wt = tile_cols.shape
+    nsh = int(mesh.shape[axis])
+    Rl = R // nsh
+    fn = _compact_sharded_fn(mesh, axis, Rl, Wt, size_pad)
+    rows, ck, cv, cnts = fn(tile_cols, tile_vals, keep)
+    rows = np.asarray(rows).reshape(nsh, size_pad)
+    ck = np.asarray(ck).reshape(nsh, size_pad)
+    cv = np.asarray(cv).reshape(nsh, size_pad)
+    cnts = np.asarray(cnts).reshape(-1)
+    sel = np.arange(size_pad)[None, :] < cnts[:, None]
+    return rows[sel], ck[sel], cv[sel]
+
+
 # row-count padding floor: keeps the number of distinct compiled shapes low
 _R_PAD = 128
 
 
 def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
                              max_tile_slots: int = 1 << 27,
+                             work_budget: int = 1 << 30,
                              min_class_rows: int = 2048,
                              use_pallas: bool | None = None,
                              mesh=None, mesh_axis: str = "rows",
@@ -157,8 +200,12 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
     pivot columns — elimination.mutual_reduce).  B: scipy CSR.  Returns a
     canonical scipy CSR equal to the host eliminate_against_reduced.
     Classes wider than ``max_tile_slots`` padded slots stream through
-    fixed-height row chunks; only a pathological single-tile overflow
-    returns None (caller falls back to the host kernel).
+    fixed-height row chunks.  Returns None (caller falls back) when the
+    TOTAL padded slot count across all chunks exceeds ``work_budget`` —
+    mutual reduction can densify U* (e.g. mid-echelonize boundary
+    rounds), and a pow4-padded Ku then multiplies every hit row's merge
+    width by the dense U* row length; the level-wave fallback handles
+    that regime with the sparse unreduced block instead.
 
     With ``mesh``, each class tile is row-sharded over the mesh
     (NamedSharding on ``mesh_axis``; U* tiles replicated — the pivot-row
@@ -248,6 +295,11 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
             return None  # a single minimal tile cannot fit (pathological)
         for s in range(0, rows_c.size, r_cap):
             chunked.append((key, rows_c[s:s + r_cap]))
+    total_slots = sum(
+        max(_R_PAD, _ceil_pow2(rc.size), nsh) * (k[0] + k[1] * k[2])
+        for k, rc in chunked)
+    if total_slots > work_budget:
+        return None  # padded merge work blew up (dense U*): fall back
     for (Wb, H, Ku), rows_c in chunked:
         _t0 = _time.perf_counter()
         R = rows_c.size
@@ -305,11 +357,21 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
         # fill entries come last (jnp.nonzero fills after real hits) and
         # the [:size] slice drops them
         size_pad = _ceil_pow2(max(size, 1))
-        rid_d, ck_d, cv_d = _compact_class(cols_d, vals_d, keep_d, size_pad)
-        rk = np.asarray(rid_d, np.int64)[:size]
+        if mesh is not None:
+            rk, ck, cv = _compact_class_sharded(mesh, mesh_axis, cols_d,
+                                                vals_d, keep_d, size_pad)
+            rk = rk.astype(np.int64)
+            ck = ck.astype(np.int64)
+            cv = cv.astype(np.int64)
+        else:
+            rid_d, ck_d, cv_d = _compact_class(cols_d, vals_d, keep_d,
+                                               size_pad)
+            rk = np.asarray(rid_d, np.int64)[:size]
+            ck = np.asarray(ck_d, np.int64)[:size]
+            cv = np.asarray(cv_d, np.int64)[:size]
         out_rows_parts.append(rows_c[rk])  # padded rows never kept
-        out_cols_parts.append(np.asarray(ck_d, np.int64)[:size])
-        out_vals_parts.append(np.asarray(cv_d, np.int64)[:size])
+        out_cols_parts.append(ck)
+        out_vals_parts.append(cv)
         t_pull += _time.perf_counter() - _t2
     # tiny classes: the host one-pass kernel on just those rows (a device
     # call would pay a fresh compile + fixed link latency for a handful

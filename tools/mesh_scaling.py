@@ -31,6 +31,11 @@ prefault(4 << 30)
 import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
+
+# the env var is ignored when the axon plugin is installed — force the
+# platform through the config BEFORE the first backend touch
+jax.config.update("jax_platforms", "cpu")
+
 from jax.sharding import Mesh  # noqa: E402
 
 import spasm_tpu as st  # noqa: E402
