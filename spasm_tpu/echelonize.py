@@ -462,11 +462,19 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         # blocked dense memory needs O((block + rank_tail) * na), not
         # O(nrows * na) — tall matrices are always dense-finishable
         na = alive_cols.size
+        # on an accelerator the dense finish's density gate drops to
+        # device_sparsity_threshold, like the round loop's dense switch:
+        # a knife-edge tail (e.g. dens = 0.0499 vs threshold 0.05) costs
+        # 40 s in host GPLU vs ~3 s on the MXU (measured, NOTES_r5)
+        thresh_fin = opts.sparsity_threshold
+        if (opts.device_sparsity_threshold is not None and opts.enable_dense
+                and _on_accelerator()):
+            thresh_fin = min(thresh_fin, opts.device_sparsity_threshold)
         use_dense = (opts.enable_dense
                      and (opts.dense_block_size + min(nrows, na)) * na
                      <= opts.dense_budget
                      and (force_dense
-                          or dens >= opts.sparsity_threshold
+                          or dens >= thresh_fin
                           or not opts.enable_GPLU
                           or dense_elems <= 1_000_000
                           or (opts.enable_tall_and_skinny
@@ -711,41 +719,36 @@ def _device_sparse_schur(f: Field, mesh, U, pcols, levels, S_rest_sp):
     (ops/sparse_onepass — SURVEY 2.11 item 1; the old per-shard wave path
     remains as the overflow fallback).  Single device: the one-pass merge,
     falling back to the sort-based waves on tile overflow."""
+    from .ops.sparse_onepass import eliminate_onepass_device
+
     # CPU emulation meshes pay the merge in host cycles — keep the padded
     # work budget a device-tile's worth there; real accelerators get the
     # full budget
     budget = (1 << 30) if _on_accelerator() else (1 << 27)
-    if mesh is not None:
-        from .ops.sparse_onepass import eliminate_onepass_device
-
-        Ustar, ok = mutual_reduce(f, U.to_scipy(), pcols, levels)
-        if ok:
+    Ustar, ok = mutual_reduce(f, U.to_scipy(), pcols, levels)
+    if ok:
+        try:
             D = eliminate_onepass_device(f, Ustar, pcols, S_rest_sp,
                                          mesh=mesh, work_budget=budget)
-            if D is not None:
-                return SparseGFp.from_scipy(D, f.p, assume_canonical=True)
+        except Exception as e:  # e.g. exotic mesh sharding rejections
+            log(f"[schur/device] one-pass failed ({type(e).__name__}); "
+                "wave fallback")
+            D = None
+        if D is not None:
+            return SparseGFp.from_scipy(D, f.p, assume_canonical=True)
+    log("[schur/device] one-pass unavailable; wave fallback")
+    S_rest = SparseGFp.from_scipy(S_rest_sp, f.p)
+    if mesh is not None:
         from .parallel.sparse_sharded import sharded_sparse_eliminate
 
-        log("[schur/device] one-pass unavailable; wave fallback over mesh")
-        S_rest = SparseGFp.from_scipy(S_rest_sp, f.p)
         out = sharded_sparse_eliminate(f, mesh, U, pcols, levels, S_rest)
         if out is None:
             log("[schur/device] capacity overflow; retrying at 4x cap")
             out = sharded_sparse_eliminate(f, mesh, U, pcols, levels,
                                            S_rest, cap_factor=32)
         return out
-    from .ops.sparse_onepass import eliminate_onepass_device
-
-    Ustar, ok = mutual_reduce(f, U.to_scipy(), pcols, levels)
-    if ok:
-        D = eliminate_onepass_device(f, Ustar, pcols, S_rest_sp,
-                                     work_budget=budget)
-        if D is not None:
-            return SparseGFp.from_scipy(D, f.p, assume_canonical=True)
     from .ops.sparse_device import eliminate_device
 
-    log("[schur/device] one-pass unavailable; wave fallback")
-    S_rest = SparseGFp.from_scipy(S_rest_sp, f.p)
     out = eliminate_device(f, U, pcols, levels, S_rest)
     if out is None:
         log("[schur/device] capacity overflow; retrying at 4x cap")

@@ -92,6 +92,12 @@ def _onepass_class(f: Field, b_cols, b_vals, hit_k, hit_c, hit_ok,
     e_vals = jnp.where(hit_ok[:, :, None], e_vals, 0)
     tile_cols = jnp.concatenate([b_cols, e_cols.reshape(R, H * Ku)], axis=1)
     tile_vals = jnp.concatenate([b_vals, e_vals.reshape(R, H * Ku)], axis=1)
+    Wt_pre = tile_cols.shape[1]
+    if use_pallas and max(128, _ceil_pow2(Wt_pre)) > (1 << 13):
+        # a pow2 width past 8192 would push the (RB>=8, W) VMEM tiles and
+        # the unrolled bitonic stages past the kernel's budget — the XLA
+        # sort path handles wide classes
+        use_pallas = False
     if use_pallas:
         # fused bitonic merge + segmented mod-sum in VMEM (pallas_merge)
         from .pallas_merge import merge_rows_pallas
@@ -303,7 +309,8 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
     for (Wb, H, Ku), rows_c in chunked:
         _t0 = _time.perf_counter()
         R = rows_c.size
-        R_pad = max(_R_PAD, _ceil_pow2(R), nsh)  # pow2 >= nsh divides
+        R_pad = max(_R_PAD, _ceil_pow2(R))
+        R_pad = -(-R_pad // nsh) * nsh  # multiple of the shard count
         L = lens[rows_c]
         total = int(L.sum())
         rowrep = np.repeat(np.arange(R, dtype=np.int64), L)
@@ -321,7 +328,9 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
         hpos = (ch - 1 - excl)[hsel]
         hrow = rowrep[hsel]
         ks = k_of[src][hsel]
-        # compact the referenced U rows into a per-class ELL
+        # compact the referenced U rows into a per-class ELL; nref is
+        # pow2-padded (sentinel rows) so chunks of the same class key
+        # reuse one compiled shape instead of recompiling per chunk
         refs, ks_local = np.unique(ks, return_inverse=True)
         nref = refs.size
         uL = ulen[refs]
@@ -330,8 +339,9 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
         ubase = np.cumsum(uL) - uL
         upos = np.arange(utot, dtype=np.int64) - np.repeat(ubase, uL)
         usrc = np.repeat(u_indptr[refs], uL) + upos
-        u_cols = np.full((max(nref, 1), Ku), m, np.int32)
-        u_vals = np.zeros((max(nref, 1), Ku), np.int32)
+        nref_pad = max(1, _ceil_pow2(nref))
+        u_cols = np.full((nref_pad, Ku), m, np.int32)
+        u_vals = np.zeros((nref_pad, Ku), np.int32)
         u_cols[urep, upos] = u_idx[usrc]
         u_vals[urep, upos] = u_val[usrc]
         hit_k = np.zeros((R_pad, H), np.int32)

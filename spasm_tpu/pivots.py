@@ -326,7 +326,6 @@ def _greedy_sequential(A, col_selected, row_used, piv_pos_of_col,
     cand = np.flatnonzero((~row_used) & (lengths > 0))
     cand = cand[np.argsort(lengths[cand], kind="stable")]
     sel_r, sel_c, sel_p = [], [], []
-    done = 0
     accepted_in_batch = 0
     batch_end = min(cap, cand.size)
     for pos in range(cand.size):

@@ -503,3 +503,21 @@ def test_L_factor_reduced_rounds(rng):
         got = F.normalize(X.to_dense().astype(np.int64)
                           @ A.to_dense().astype(np.int64))
         np.testing.assert_array_equal(got, B.to_dense())
+
+
+def test_accelerator_finish_gate_prefers_dense(monkeypatch, rng):
+    """On an accelerator the finish density gate drops to
+    device_sparsity_threshold: a knife-edge tail (density just under
+    sparsity_threshold) must take the dense MXU finish instead of host
+    GPLU (measured 40 s vs ~3 s at 4096^2 d=0.05 — NOTES_r5), with the
+    identical rank."""
+    import importlib
+
+    ech = importlib.import_module("spasm_tpu.echelonize")
+    A = SparseGFp.rand(F, 1100, 1100, 0.03, rng)  # dens in [0.02, 0.05)
+    ref = echelonize(A)  # CPU default: GPLU tail
+    monkeypatch.setattr(ech, "_on_accelerator", lambda: True)
+    fact = echelonize(A)
+    assert fact.dense_piv_start is not None  # dense finish engaged
+    assert fact.r == ref.r
+    assert rref_of_U(fact) == rref_of_U(ref)

@@ -114,6 +114,12 @@ def test_onepass_mesh_sharded_exact(rng):
     Dd = eliminate_onepass_device(f, Ustar, pcols, sp.csr_matrix(S_rest),
                                   min_class_rows=0, mesh=mesh)
     assert Dd is not None and _csr_equal(Dh, Dd)
+    # non-power-of-two shard counts must shard too (R_pad is padded to a
+    # multiple of the shard count, not just a power of two)
+    mesh6 = Mesh(np.array(jax.devices()[:6]).reshape(6), ("rows",))
+    Dd6 = eliminate_onepass_device(f, Ustar, pcols, sp.csr_matrix(S_rest),
+                                   min_class_rows=0, mesh=mesh6)
+    assert Dd6 is not None and _csr_equal(Dh, Dd6)
 
 
 def test_onepass_subcomplex_boundary():
