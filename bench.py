@@ -25,7 +25,7 @@ VERDICT-r3 evidence items:
   certificate     d9 rank-certificate create (includes its L-recording
                   echelonize) and O(nnz) verify walls
   device_flagship end-to-end rank dominated by the TPU dense finish
-                  (4096^2 d=0.05; device_share from phase attribution)
+                  (8192^2 d=0.02; device_share from phase attribution)
   mfu             achieved / peak int8 utilization of the v5e MXU for the
                   Pallas mod-p matmul at 4096^3 and the 4096^2 dense RREF
   structured_large_prime  d7-scale boundary rank at tier-B/C primes +
@@ -209,13 +209,16 @@ def main():
                               "runs_s": runs_d}
 
     # device flagship (VERDICT r4 item 3): an end-to-end rank whose wall is
-    # dominated by the TPU dense finish — random 4096^2 d=0.05 harvests
+    # dominated by the TPU dense finish — a dense-ish random case harvests
     # almost no structural pivots at round 0, so nearly the WHOLE matrix
-    # goes through the blocked MXU RREF (the accelerator finish gate,
-    # thresh_fin = device_sparsity_threshold; the host-GPLU alternative
-    # measured 40 s on this case, NOTES_r5).  device_share from the same
-    # phase attribution as the headline.
-    DF = st.SparseGFp.rand(f, 4096, 4096, 0.05, np.random.default_rng(5))
+    # goes through the fused MXU finish (the accelerator finish gate,
+    # thresh_fin = device_sparsity_threshold; host GPLU measured 40 s on
+    # the 4096^2 d=0.05 variant vs 0.46 s end-to-end on device —
+    # NOTES_r5).  8192^2 so the device stage dominates the warm wall
+    # (the 4096 variant's warm finish is so fast the HOST pivot scan was
+    # half the total).  device_share from the same phase attribution as
+    # the headline.
+    DF = st.SparseGFp.rand(f, 8192, 8192, 0.02, np.random.default_rng(5))
     runs_df, df_phases, r_df = [], {}, None
     for _ in range(2):
         t0 = time.time()
@@ -225,7 +228,7 @@ def main():
             df_phases = _ech_mod.last_phase_stats()
         runs_df.append(dt)
     device_flagship_detail = {
-        "case": "rank 4096x4096 d=0.05 mod 42013 (device dense finish)",
+        "case": "rank 8192x8192 d=0.02 mod 42013 (device dense finish)",
         "nnz": DF.nnz, "rank": r_df, "wall_s": min(runs_df),
         "runs_s": runs_df, "phases": df_phases,
         "device_share": df_phases.get("device_share"),

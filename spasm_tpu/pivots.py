@@ -284,6 +284,12 @@ def greedy_pivots(A: SparseGFp, col_selected, row_used, positions,
         sel_p.append(q)
         # drop the accepted rows' entries (rows only ever become used)
         re, ci = re[~in_acc], ci[~in_acc]
+        # diminishing returns: when a pass accepts almost none of its
+        # candidates (dense overlapping supports — the batched rule is
+        # conservative there), stop paying O(live entries) per pass and
+        # let the sequential mop-up below finish with the exact rule
+        if rows_a.size < max(16, rows_c.size // 64):
+            break
     # sequential mop-up on the remaining candidates: the batched
     # acceptance is conservative on cascade/chain structures (heavily
     # overlapping supports) where the fractional-insertion rule shines —
