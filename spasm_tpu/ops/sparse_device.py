@@ -174,14 +174,16 @@ def eliminate_device(f: Field, U, piv_cols, levels, B, cap_factor=4,
     """Host-facing wrapper: U, B SparseGFp; returns the eliminated B or
     None on capacity overflow (caller falls back to the host waves).
 
-    Single-chip economics (measured, tools/device_crossover.py +
-    NOTES_r4.md): the sort-based waves LOSE to the OpenMP host Schur
-    kernel by 2-3 orders of magnitude on real round workloads on v5e
-    (d7 round 0: 17 s vs 0.05 s) and a 2^27-element pool faulted the
-    chip — keep `device_sparse_min_nnz` at its 0 (disabled) default on
-    one chip.  The supported use is the MESH path (sparse_sharded.py),
-    where sharding divides the pool per chip; validated envelope there
-    is <= ~2M nnz per shard."""
+    Round 5 status: this wave design is the FALLBACK behind the one-pass
+    batched merge (ops/sparse_onepass.py) — it eliminates against the
+    UNREDUCED pivot block level by level, so it handles the dense-U*
+    regime the one-pass work-budget gate rejects.  Single-chip
+    economics (measured, tools/device_crossover.py, NOTES_r4/NOTES_r5):
+    waves lose to the OpenMP host kernel by 2-3 orders of magnitude
+    (d7 round 0: 17 s vs 0.04 s) and the one-pass merge by ~7-9x; keep
+    `device_sparse_min_nnz` at its 0 (disabled) default on one chip.
+    The supported device use is the MESH path (one-pass tiles sharded
+    over the mesh, this module's waves as overflow/dense-U* fallback)."""
     npiv, m = U.shape
     q = B.shape[0]
     u_cols, u_vals = ell_pack(U)
