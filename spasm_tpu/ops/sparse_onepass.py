@@ -179,12 +179,14 @@ def _compact_class_sharded(mesh, axis, tile_cols, tile_vals, keep,
     R, Wt = tile_cols.shape
     nsh = int(mesh.shape[axis])
     Rl = R // nsh
+    from ..parallel.sparse_sharded import _global_get
+
     fn = _compact_sharded_fn(mesh, axis, Rl, Wt, size_pad)
     rows, ck, cv, cnts = fn(tile_cols, tile_vals, keep)
-    rows = np.asarray(rows).reshape(nsh, size_pad)
-    ck = np.asarray(ck).reshape(nsh, size_pad)
-    cv = np.asarray(cv).reshape(nsh, size_pad)
-    cnts = np.asarray(cnts).reshape(-1)
+    rows = _global_get(rows).reshape(nsh, size_pad)
+    ck = _global_get(ck).reshape(nsh, size_pad)
+    cv = _global_get(cv).reshape(nsh, size_pad)
+    cnts = _global_get(cnts).reshape(-1)
     sel = np.arange(size_pad)[None, :] < cnts[:, None]
     return rows[sel], ck[sel], cv[sel]
 
@@ -270,15 +272,20 @@ def eliminate_onepass_device(f: Field, Ustar, piv_cols, B,
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
+        # multi-process-safe put/get (jax.distributed over DCN): every
+        # process holds the identical host-global tiles, the helpers
+        # slice/allgather per process (parallel/sparse_sharded)
+        from ..parallel.sparse_sharded import _global_put
+
         shard_rows_nd = NamedSharding(mesh, P(mesh_axis, None))
         rep_nd = NamedSharding(mesh, P())
         nsh = int(mesh.shape[mesh_axis])
 
         def _put_tile(x):
-            return jax.device_put(jnp.asarray(x), shard_rows_nd)
+            return _global_put(np.asarray(x), shard_rows_nd)
 
         def _put_rep(x):
-            return jax.device_put(jnp.asarray(x), rep_nd)
+            return _global_put(np.asarray(x), rep_nd)
     else:
         nsh = 1
         _put_tile = _put_rep = jnp.asarray

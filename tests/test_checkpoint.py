@@ -114,6 +114,47 @@ def test_dense_finish_checkpoint_resume(rng, tmp_path, monkeypatch):
     assert not os.path.exists(path + ".dense")  # cleaned after completion
 
 
+def test_dense_finish_checkpoint_resume_device_loop(rng, tmp_path,
+                                                    monkeypatch):
+    """The DEVICE streaming block loop saves and resumes the same sidecar:
+    shrink the host cutoff and the fused budget so a small matrix takes
+    the streaming device path, kill it mid-loop, resume."""
+    import importlib
+    import os
+
+    from spasm_tpu import echelonize as ech_fn
+    from spasm_tpu.ops import dense as dense_ops
+
+    ech_mod = importlib.import_module("spasm_tpu.echelonize")
+    monkeypatch.setattr(dense_ops, "HOST_CUTOFF", 1)
+    monkeypatch.setattr(dense_ops, "HOST_CUTOFF_BIGP", 1)
+    monkeypatch.setattr(dense_ops, "FUSED_BUDGET", 1)  # force streaming
+    monkeypatch.setattr(ech_mod, "DENSE_CKPT_INTERVAL_S", 0.0)
+    A = SparseGFp.rand(F, 400, 300, 0.3, rng)
+    opts = dict(dense_block_size=64)
+    ref = ech_fn(A, **opts)
+
+    path = str(tmp_path / "dev.npz")
+    calls = {"n": 0}
+    real_step = dense_ops.blocked_finish_step
+
+    def failing_step(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("simulated preemption")
+        return real_step(*a, **kw)
+
+    monkeypatch.setattr(dense_ops, "blocked_finish_step", failing_step)
+    with pytest.raises(RuntimeError, match="simulated preemption"):
+        ech_fn(A, checkpoint=path, **opts)
+    assert os.path.exists(path + ".dense")
+    monkeypatch.setattr(dense_ops, "blocked_finish_step", real_step)
+    fact = ech_fn(A, resume=path, **opts)
+    assert fact.r == ref.r
+    assert rref_of_U(fact) == rref_of_U(ref)
+    assert not os.path.exists(path + ".dense")
+
+
 def test_dense_finish_stale_sidecar_ignored(rng, tmp_path):
     """A sidecar from a DIFFERENT matrix/finish must be ignored, not
     resumed (validated against prime/r0/tail shape/nnz)."""

@@ -106,6 +106,26 @@ def worker(pid: int, nproc: int, port: int):
                                 B.to_scipy())
     assert got is not None and got == SparseGFp.from_scipy(want_sp, f.p), \
         "sharded sparse Schur != host oracle"
+    # one-pass mesh merge (the primary mesh Schur path) across the two
+    # processes vs the host qinv oracle
+    from spasm_tpu.elimination import (eliminate_against_reduced,
+                                       mutual_reduce)
+    from spasm_tpu.ops.sparse_onepass import eliminate_onepass_device
+
+    Ustar, okr = mutual_reduce(f, U_blk.to_scipy(), ec, levels)
+    assert okr
+    Dh, _ = eliminate_against_reduced(f, Ustar, ec, B.to_scipy(),
+                                      assume_canonical=True)
+    Dd = eliminate_onepass_device(f, Ustar, ec,
+                                  sp.csr_matrix(B.to_scipy()),
+                                  min_class_rows=0, mesh=mesh)
+    Dh2 = sp.csr_matrix(Dh)
+    Dh2.sort_indices()
+    Dh2.eliminate_zeros()
+    assert (Dd is not None and Dd.nnz == Dh2.nnz
+            and np.array_equal(Dd.indices, Dh2.indices)
+            and np.array_equal(Dd.data, Dh2.data)), \
+        "one-pass mesh merge != host oracle"
     # full mesh echelonize: rank + canonical RREF must match the
     # host-only path, and every process must agree
     fact = echelonize(A, mesh=mesh)
