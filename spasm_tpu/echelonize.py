@@ -84,6 +84,16 @@ class EchelonizeOptions:
     # case exploded 1.5M -> 26M nnz in the round the 0.05 gate let
     # through).  None disables (reference behavior).
     device_sparsity_threshold: "float | None" = 0.02
+    # Markowitz-style fill filter: when a sparse round's PREDICTED fill
+    # (est * rest * cols) exceeds this multiple of the current nnz, drop
+    # the selected pivots whose Markowitz cost (row_len-1)*(col_count-1)
+    # exceeds 2x the round's median — high-cost pivots defer to later,
+    # sparser rounds.  Measured on the irregular subcomplex boundary
+    # (NOTES_r5): round-0 fill 4.9M -> ~1-2.4M and the elimination wall
+    # drops 4-12x; uniform-cost instances (full-simplex boundaries) keep
+    # every pivot (ties at the median) and never pay the O(nnz) count
+    # pass (the trigger stays cold).  None disables.
+    pivot_fill_filter: "float | None" = 4.0
     # (the round-2/3 experimental fully-device-resident FL round loop —
     # ops/resident.py, options device_rounds / device_rounds_max_pool —
     # was retired in round 4: chip-validated but it lost to the host
@@ -353,6 +363,35 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                 "switching to dense finish")
             force_dense = True
             break
+        if (opts.pivot_fill_filter
+                and est * rest_rows.size * S.shape[1]
+                > opts.pivot_fill_filter * max(1, S.nnz)):
+            # predicted fill blow-up: drop the high-Markowitz-cost pivots
+            # (they defer to later, sparser rounds) and re-partition
+            lens_r = np.diff(S.indptr)
+            cc = np.bincount(S.indices, minlength=S.shape[1])
+            cost = ((lens_r[prows] - 1)
+                    * (cc[pcols] - 1)).astype(np.float64)
+            keep = cost <= 2.0 * max(1.0, float(np.median(cost)))
+            minkeep = opts.min_pivot_proportion * max(
+                1, min(nrows_active, S.shape[1]))
+            if keep.sum() >= minkeep and not keep.all():
+                # accept the filtered set only if it meaningfully cuts
+                # the predicted fill — structureless instances (random)
+                # gain nothing from deferral and would pay extra rounds
+                pr2, pc2 = prows[keep], pcols[keep]
+                est2, S_rest2, rest2, blk2 = _round_schur_estimate(
+                    f, S, pr2, pc2, need_rest=need_rest)
+                if est2 * rest2.size <= 0.75 * est * rest_rows.size:
+                    log(f"[pivots] fill filter: deferring "
+                        f"{int((~keep).sum())} high-fill pivots "
+                        f"(predicted fill {est * rest_rows.size:.0f} -> "
+                        f"{est2 * rest2.size:.0f} row-equivalents)")
+                    prows, pcols = pr2, pc2
+                    npiv = prows.size
+                    est, S_rest, rest_rows = est2, S_rest2, rest2
+                    Upart, piv_vals, levels_blk = blk2
+                del blk2
         S_new = C = None
         ok = False  # reduced-block flag (host path sets it)
         reduced_L = False

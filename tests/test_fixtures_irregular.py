@@ -75,3 +75,16 @@ def test_mixed_block_lu_roundtrip():
     A = mixed_block_matrix(42013, seed=2)
     fact = st.echelonize(A, L=True)
     assert fact.L @ fact.U == A
+
+
+def test_pivot_fill_filter_rank_invariant():
+    """The Markowitz fill filter (pivot_fill_filter) only re-orders WHEN
+    pivots eliminate — rank/RREF must match the unfiltered path."""
+    import spasm_tpu as st
+    from spasm_tpu.solve import rref_of_U
+
+    A = subcomplex_boundary(16, 5, keep=0.75, seed=2)
+    fact_on = st.echelonize(A)  # default: filter armed
+    fact_off = st.echelonize(A, pivot_fill_filter=None)
+    assert fact_on.r == fact_off.r
+    assert rref_of_U(fact_on) == rref_of_U(fact_off)
