@@ -27,6 +27,8 @@ def _common_flags(p):
     p.add_argument("--no-low-rank-mode", action="store_true")
     p.add_argument("--low-rank-start-weight", type=float, default=None)
     p.add_argument("--max-round", type=int, default=None)
+    p.add_argument("--no-fill-filter", action="store_true",
+                   help="disable the Markowitz pivot fill filter")
     p.add_argument("--num-devices", type=int, default=None,
                    help="row-shard over a mesh of this many devices "
                         "(the OMP_NUM_THREADS analog)")
@@ -47,6 +49,8 @@ def _ech_opts(args):
         kw["low_rank_start_weight"] = args.low_rank_start_weight
     if args.max_round is not None:
         kw["max_round"] = args.max_round
+    if args.no_fill_filter:
+        kw["pivot_fill_filter"] = None
     return kw
 
 
