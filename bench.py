@@ -338,15 +338,22 @@ def main():
     from spasm_tpu.certificate import matrix_hash
 
     h = matrix_hash(C)
-    t0 = time.time()
-    proof = st.certificate_rank_create(C, hash_=h)
-    cert_create_s = round(time.time() - t0, 3)
-    t0 = time.time()
-    ok = st.certificate_rank_verify(C, h, proof)
-    cert_verify_s = round(time.time() - t0, 3)
-    assert ok and proof.r == rc
+    # best-of-2: a single-shot wall on this VM carries 1.5-2x host noise
+    # (NOTES_r4/r5 runs: 7.1 / 10.3 / 12.2 s for the same code)
+    create_runs, verify_runs, proof = [], [], None
+    for _ in range(2):
+        t0 = time.time()
+        proof = st.certificate_rank_create(C, hash_=h)
+        create_runs.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        ok = st.certificate_rank_verify(C, h, proof)
+        verify_runs.append(round(time.time() - t0, 3))
+        assert ok and proof.r == rc
     cert_detail = {"case": "d9 rank certificate (create incl. L-echelonize)",
-                   "create_s": cert_create_s, "verify_s": cert_verify_s,
+                   "create_s": min(create_runs),
+                   "create_runs_s": create_runs,
+                   "verify_s": min(verify_runs),
+                   "verify_runs_s": verify_runs,
                    "rank": proof.r}
 
     value_c = C.nnz / wall_c
