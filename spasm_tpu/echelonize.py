@@ -285,6 +285,7 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
     dense_piv_start0 = None
 
     force_dense = False  # set when a round's density gate trips
+    fill_filter_rejects = 0  # Markowitz probe strikes (2 = stop probing)
     while round_idx < opts.max_round:
         if S.shape[0] == 0 or S.nnz == 0:
             break
@@ -322,9 +323,11 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
         log(f"[pivots] {prows.size} pivots found")
         stats["pivot_s"] += wtime() - t0
         npiv = prows.size
-        nrows_active = int((np.diff(S.indptr) > 0).sum())
-        if npiv < opts.min_pivot_proportion * max(1, min(nrows_active,
-                                                         S.shape[1])):
+        row_lens = np.diff(S.indptr)
+        nrows_active = int((row_lens > 0).sum())
+        minkeep = opts.min_pivot_proportion * max(
+            1, min(nrows_active, S.shape[1]))
+        if npiv < minkeep:
             log("[echelonize] not enough pivots found; stopping")
             break
 
@@ -363,18 +366,15 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                 "switching to dense finish")
             force_dense = True
             break
-        if (opts.pivot_fill_filter
+        if (opts.pivot_fill_filter and fill_filter_rejects < 2
                 and est * rest_rows.size * S.shape[1]
                 > opts.pivot_fill_filter * max(1, S.nnz)):
             # predicted fill blow-up: drop the high-Markowitz-cost pivots
             # (they defer to later, sparser rounds) and re-partition
-            lens_r = np.diff(S.indptr)
             cc = np.bincount(S.indices, minlength=S.shape[1])
-            cost = ((lens_r[prows] - 1)
+            cost = ((row_lens[prows] - 1)
                     * (cc[pcols] - 1)).astype(np.float64)
             keep = cost <= 2.0 * max(1.0, float(np.median(cost)))
-            minkeep = opts.min_pivot_proportion * max(
-                1, min(nrows_active, S.shape[1]))
             if keep.sum() >= minkeep and not keep.all():
                 # accept the filtered set only if it meaningfully cuts
                 # the predicted fill — structureless instances (random)
@@ -391,6 +391,10 @@ def _echelonize_impl(A: SparseGFp, opts: EchelonizeOptions,
                     npiv = prows.size
                     est, S_rest, rest_rows = est2, S_rest2, rest2
                     Upart, piv_vals, levels_blk = blk2
+                else:
+                    # structureless: deferral didn't cut fill — after two
+                    # rejections stop paying the probe for this run
+                    fill_filter_rejects += 1
                 del blk2
         S_new = C = None
         ok = False  # reduced-block flag (host path sets it)
