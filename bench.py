@@ -327,11 +327,20 @@ def main():
     assert r_ir2 == r_ir
     irregular_detail = {
         "case": "rank subcomplex boundary n=22 k=7 keep=0.8 (irregular "
-                "row/col weights)",
+                "row/col weights; Markowitz fill filter engages)",
         "shape": list(IR.shape), "nnz": IR.nnz, "rank": r_ir,
         "wall_s": wall_ir, "runs_s": runs_ir,
         "nnz_per_s": round(IR.nnz / wall_ir, 1)}
     del IR
+    # at-scale irregular: the d9-sized random subcomplex (5.7M nnz)
+    IRL = subcomplex_boundary(26, 9, keep=0.8, seed=11)
+    wall_irl, runs_irl, r_irl = timed_reps(lambda: st.rank(IRL), 2)
+    irregular_detail["large"] = {
+        "case": "rank subcomplex boundary n=26 k=9 keep=0.8",
+        "shape": list(IRL.shape), "nnz": IRL.nnz, "rank": r_irl,
+        "wall_s": wall_irl, "runs_s": runs_irl,
+        "nnz_per_s": round(IRL.nnz / wall_irl, 1)}
+    del IRL
 
     # d9 rank certificate: create (includes its own L-recording
     # echelonize) + O(nnz) verify (SURVEY 2.8 failure-detection subsystem)
